@@ -1,0 +1,123 @@
+"""Multimodal (image/audio/video) column handling — Spark-side plumbing with
+stubbed codecs.
+
+Design per the training-data-pipeline brief: media travel as opaque `binary`
+columns with a typed metadata struct; decode / feature-extract / resize /
+frame-sample run as Arrow-batched UDFs over mapInPandas. The decode step
+itself is STUBBED here (no cv2/PIL/ffmpeg in this container): `decode_image`
+raises NotImplementedError unless `fake=True`, in which case it produces a
+deterministic fake decode whose metadata is parsed from real container
+headers (PNG IHDR / JPEG SOF0) — so schema, batch shape and partitioning are
+real and tested even though pixel decoding is not.
+
+Reference analogue: io/image.py:49-148 (decode + EXIF orient) and
+io/image.py:150-185 (bytes/base64 ingest).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Optional
+
+import numpy as np
+
+
+def parse_image_meta(data: bytes) -> dict:
+    """Parse width/height/format from PNG or JPEG headers (pure bytes math).
+
+    Returns {format, width, height, n_bytes}; unknown formats get
+    format='unknown', width=height=0.
+    """
+    n = len(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and n >= 24:
+        w, h = struct.unpack(">II", data[16:24])
+        return {"format": "png", "width": int(w), "height": int(h), "n_bytes": n}
+    if data[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 < n:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF segments carry dims
+                h, w = struct.unpack(">HH", data[i + 5:i + 9])
+                return {"format": "jpeg", "width": int(w), "height": int(h), "n_bytes": n}
+            seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+            i += 2 + seg_len
+        return {"format": "jpeg", "width": 0, "height": 0, "n_bytes": n}
+    return {"format": "unknown", "width": 0, "height": 0, "n_bytes": n}
+
+
+def decode_image(data: bytes, fake: bool = False) -> np.ndarray:
+    """Decode image bytes to an HxWx3 BGR uint8 array (io/image.py:49-79).
+
+    STUB: real decoding needs cv2/PIL which this container lacks. With
+    fake=True returns a deterministic pseudo-image seeded by the content
+    sha256, with the true header dimensions — enough to exercise the
+    downstream numpy pipeline deterministically.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "Image decoding requires cv2/PIL (not in this container). "
+            "Pass fake=True for the deterministic test double."
+        )
+    meta = parse_image_meta(data)
+    h = max(1, min(meta["height"] or 64, 256))
+    w = max(1, min(meta["width"] or 64, 256))
+    seed = int.from_bytes(hashlib.sha256(data).digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+EXIF_ORIENTATION_OPS = {
+    1: lambda a: a,
+    2: lambda a: a[:, ::-1],
+    3: lambda a: a[::-1, ::-1],
+    4: lambda a: a[::-1, :],
+    5: lambda a: a.transpose(1, 0, 2)[:, ::-1][::-1, :][:, ::-1],
+    6: lambda a: a.transpose(1, 0, 2)[:, ::-1],
+    7: lambda a: a.transpose(1, 0, 2)[::-1, :][:, ::-1][::-1, :],
+    8: lambda a: a.transpose(1, 0, 2)[::-1, :],
+}
+
+
+def apply_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """8-way EXIF orientation correction (io/image.py:100-148) in pure numpy."""
+    op = EXIF_ORIENTATION_OPS.get(orientation)
+    return np.ascontiguousarray(op(img)) if op else img
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize in pure numpy (the crop-normalize analogue of
+    ocr/crops.py:133-175 without cv2)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
+def frame_sample_indices(n_frames: int, k: int) -> list[int]:
+    """Deterministic uniform frame sampling for video columns."""
+    if n_frames <= 0 or k <= 0:
+        return []
+    if k >= n_frames:
+        return list(range(n_frames))
+    return [int(i * n_frames / k) for i in range(k)]
+
+
+def image_features(img: np.ndarray) -> dict:
+    """Cheap deterministic feature extraction: per-channel means + laplacian
+    variance (the reference's noise estimate, preprocess/enhance.py:193-216,
+    numpy-only)."""
+    gray = img.mean(axis=2) if img.ndim == 3 else img.astype(float)
+    lap = (-4 * gray[1:-1, 1:-1] + gray[:-2, 1:-1] + gray[2:, 1:-1]
+           + gray[1:-1, :-2] + gray[1:-1, 2:])
+    return {
+        "mean_b": float(img[..., 0].mean()) if img.ndim == 3 else float(gray.mean()),
+        "mean_g": float(img[..., 1].mean()) if img.ndim == 3 else float(gray.mean()),
+        "mean_r": float(img[..., 2].mean()) if img.ndim == 3 else float(gray.mean()),
+        "laplacian_var": float(lap.var()) if lap.size else 0.0,
+        "height": int(img.shape[0]),
+        "width": int(img.shape[1]),
+    }

@@ -1,0 +1,165 @@
+"""Deterministic synthetic `pages` table generator.
+
+Produces rows of exactly the BASELINE.json input_hint shape:
+    (url: string, warc_ts: timestamp, html: binary, text: string, lang: string)
+where `text` is the GROUND-TRUTH main-content text the extractor must
+reproduce byte-identically (the per-row invariant). Ground truth is computed
+from generator parameters, never by running the extractor — so the byte-
+identity test is a real oracle, not a self-fulfilling one.
+
+Page anatomy (FIXTURES.md §A): known title/body/fields, plus boilerplate the
+extractor must strip — nav link lists, header/footer chrome, sidebar, cookie
+banner, script/style — and a label/value table. ~10% of rows are PDFs built
+by kernel.pdf_text.build_pdf with the reference conftest's known strings
+(reference tests/conftest.py:79-103: "Invoice Number: INV-001",
+"Date: 2024-01-15", "Total: $1,234.56" shapes).
+
+Host distribution is Zipf-ish (host h gets ~C/h pages) to create the
+host-level skew the salted repartition must defuse (SURVEY §4 custom-work 1).
+Everything is seeded; same (n_rows, seed) -> same bytes.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+from ..kernel import pdf_text
+
+WORDS = (
+    "data spark table query row column batch stream shuffle partition "
+    "join filter merge sort window vector hash scan key value order "
+    "customer invoice total amount engine document page text line field"
+).split()
+
+LANGS = [("en", 95), ("de", 3), ("fr", 2)]
+
+_BASE_TS = datetime(2026, 3, 1, 0, 0, 0)
+
+
+def _pick_lang(rng: random.Random) -> str:
+    r = rng.randrange(100)
+    acc = 0
+    for lang, w in LANGS:
+        acc += w
+        if r < acc:
+            return lang
+    return "en"
+
+
+def _sentence(rng: random.Random, n_words: int) -> str:
+    ws = [rng.choice(WORDS) for _ in range(n_words)]
+    return " ".join(ws).capitalize() + "."
+
+
+def _host_for(i: int, n_hosts: int, rng: random.Random) -> int:
+    """Zipf-ish host assignment: host h with probability ∝ 1/(h+1)."""
+    weights = [1.0 / (h + 1) for h in range(n_hosts)]
+    total = sum(weights)
+    r = rng.random() * total
+    acc = 0.0
+    for h, w in enumerate(weights):
+        acc += w
+        if r < acc:
+            return h
+    return n_hosts - 1
+
+
+def make_page(i: int, seed: int = 42, n_hosts: int = 50) -> dict:
+    """Build one deterministic page row + its expected extraction results.
+
+    Returns {url, warc_ts, html(bytes), text, lang, expected_title,
+    expected_fields (dict), kind}.
+    """
+    rng = random.Random((seed << 20) ^ i)
+    host = _host_for(i, n_hosts, rng)
+    url = f"https://host{host:03d}.example/article/{i}"
+    warc_ts = _BASE_TS + timedelta(seconds=(i * 977) % (30 * 86400))
+    lang = _pick_lang(rng)
+    kind = "pdf" if rng.random() < 0.10 else "html"
+
+    title = f"Document {i}: " + " ".join(rng.choice(WORDS) for _ in range(3))
+    n_paras = rng.randint(2, 6)
+    paras = [_sentence(rng, rng.randint(8, 25)) for _ in range(n_paras)]
+    invoice_no = f"INV-{seed % 97:02d}{i:06d}"
+    date_str = (warc_ts - timedelta(days=rng.randint(0, 365))).strftime("%Y-%m-%d")
+    total_str = f"${rng.randint(1, 9999)},{rng.randint(0, 999):03d}.{rng.randint(0, 99):02d}" \
+        if rng.random() < 0.3 else f"${rng.randint(1, 99999)}.{rng.randint(0, 99):02d}"
+    kv_lines = [
+        f"Invoice Number: {invoice_no}",
+        f"Date: {date_str}",
+        f"Total: {total_str}",
+    ]
+    expected_fields = {
+        "invoice_number": invoice_no,
+        "date": date_str,
+        "total": total_str,
+    }
+
+    if kind == "pdf":
+        pdf_lines = [(72.0, 72.0, title, 24.0)]
+        y = 120.0
+        for para in paras:
+            pdf_lines.append((72.0, y, para, 12.0))
+            y += 30.0
+        for kv in kv_lines:
+            pdf_lines.append((72.0, y, kv, 12.0))
+            y += 30.0
+        payload = pdf_text.build_pdf(pdf_lines)
+        # expected reading order: (y-band, x); all lines share x=72 and are
+        # 30px apart (some share a 50px band but insertion order is stable)
+        expected_text = "\n".join([title] + paras + kv_lines)
+    else:
+        nav_items = "".join(
+            f'<li><a href="/{rng.choice(WORDS)}">{rng.choice(WORDS)}</a></li>'
+            for _ in range(6))
+        sidebar_items = "".join(
+            f'<li><a href="/t/{w}">{w}</a></li>' for w in rng.sample(WORDS, 5))
+        table_rows = "".join(
+            f"<tr><td>{k.replace('_', ' ').title()}</td><td>{v}</td></tr>"
+            for k, v in expected_fields.items())
+        body_paras = "".join(f"<p>{p}</p>" for p in paras)
+        kv_html = "".join(f"<p>{kv}</p>" for kv in kv_lines)
+        payload = f"""<!DOCTYPE html>
+<html lang="{lang}"><head><title>{title}</title>
+<style>body {{ margin: 0 }}</style>
+<script>var x = {i};</script>
+</head><body>
+<header><div class="logo">Example Site</div><nav><ul>{nav_items}</ul></nav></header>
+<div class="cookie-banner">We use cookies. <a href="/accept">Accept</a></div>
+<main><article>
+<h1>{title}</h1>
+{body_paras}
+{kv_html}
+<table>{table_rows}</table>
+</article></main>
+<aside class="sidebar"><h3>Related</h3><ul>{sidebar_items}</ul></aside>
+<footer><p><a href="/about">About</a> | <a href="/privacy">Privacy</a></p>
+<p class="copyright">© 2026 Example Site</p></footer>
+</body></html>""".encode("utf-8")
+        # expected main content: h1 + paragraphs + kv lines, in document
+        # order, "\n"-joined (the sidebar h3 "Related" is inside an aside and
+        # stripped; table cells are structured output, not raw_text)
+        expected_text = "\n".join([title] + paras + kv_lines)
+
+    return {
+        "url": url,
+        "warc_ts": warc_ts,
+        "html": payload,
+        "text": expected_text,
+        "lang": lang,
+        "expected_title": title,
+        "expected_fields": expected_fields,
+        "kind": kind,
+    }
+
+
+def generate_pages(n_rows: int, seed: int = 42, n_hosts: int = 50) -> list[dict]:
+    """Generate the pages table rows (input columns only)."""
+    return [make_page(i, seed=seed, n_hosts=n_hosts) for i in range(n_rows)]
+
+
+def pages_spark_rows(n_rows: int, seed: int = 42, n_hosts: int = 50):
+    """Rows projected to the input_hint columns, for spark.createDataFrame."""
+    for p in generate_pages(n_rows, seed=seed, n_hosts=n_hosts):
+        yield (p["url"], p["warc_ts"], p["html"], p["text"], p["lang"])
