@@ -1,0 +1,127 @@
+"""Snapshot-committed output + resume-from-checkpoint.
+
+Production design (SURVEY §4 custom-work 3): the output is an Iceberg table;
+each run `MERGE INTO` on (url, content_key) so task retries are idempotent
+and a failed run resumes from the last committed snapshot by anti-joining
+its keys. This container has no Iceberg runtime jar, so this module
+implements the same commit protocol over a parquet directory layout:
+
+    <root>/
+      snapshots/snap-<id>/part-*.parquet      (data, written first)
+      manifests/manifest-<id>.json            (commit point, written LAST)
+
+A snapshot exists iff its manifest exists — readers list manifests, never
+raw directories, so a crashed run's half-written snapshot is invisible
+(the same visibility rule as an Iceberg metadata commit). The resume key is
+content-addressed like the reference's response cache
+(azure/response_cache.py:66-91: sha256 of content + context).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "manifests")
+
+
+def _snap_dir(root: str, snap_id: int) -> str:
+    return os.path.join(root, "snapshots", f"snap-{snap_id}")
+
+
+def committed_snapshots(root: str) -> list[dict]:
+    """All committed snapshot manifests, oldest first."""
+    mdir = _manifest_dir(root)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.startswith("manifest-") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def next_snapshot_id(root: str) -> int:
+    snaps = committed_snapshots(root)
+    return (max(s["snapshot_id"] for s in snaps) + 1) if snaps else 1
+
+
+def committed_keys(spark: SparkSession, root: str) -> Optional[DataFrame]:
+    """DataFrame of (url, content_key) across all committed snapshots, or
+    None when no snapshot exists. Reads only the two key columns (parquet
+    column pruning keeps this cheap even for wide document rows)."""
+    snaps = committed_snapshots(root)
+    if not snaps:
+        return None
+    paths = [_snap_dir(root, s["snapshot_id"]) for s in snaps]
+    return spark.read.parquet(*paths).select("url", "content_key")
+
+
+def filter_uncommitted(pages: DataFrame, committed: Optional[DataFrame]) -> DataFrame:
+    """Resume filter: left-anti join pages against already-committed keys.
+
+    Keyed on sha2(html) so re-crawled identical content is skipped too —
+    the dataset-level analogue of the reference's content-addressed cache
+    hit (response_cache.py:95-142).
+    """
+    if committed is None:
+        return pages
+    keyed = pages.withColumn("content_key", F.sha2(F.col("html"), 256))
+    return (keyed.join(committed.select("content_key").distinct(),
+                       on="content_key", how="left_anti")
+            .drop("content_key"))
+
+
+def commit_snapshot(documents: DataFrame, root: str,
+                    extra: Optional[dict] = None) -> int:
+    """Write a new snapshot: data first, manifest last (the commit point).
+
+    Returns the snapshot id. Task retries inside the write are handled by
+    Spark's output committer; a driver crash before the manifest write
+    leaves an invisible orphan directory, never a torn snapshot.
+    """
+    snap_id = next_snapshot_id(root)
+    data_dir = _snap_dir(root, snap_id)
+    documents.write.mode("errorifexists").parquet(data_dir)
+
+    spark = documents.sparkSession
+    n_rows = spark.read.parquet(data_dir).count()
+    manifest = {
+        "snapshot_id": snap_id,
+        "parent_id": snap_id - 1 if snap_id > 1 else None,
+        "path": data_dir,
+        "n_rows": n_rows,
+        **(extra or {}),
+    }
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    tmp = os.path.join(_manifest_dir(root), f".manifest-{snap_id}.json.tmp")
+    final = os.path.join(_manifest_dir(root), f"manifest-{snap_id}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    os.replace(tmp, final)  # atomic commit
+    return snap_id
+
+
+def read_table(spark: SparkSession, root: str) -> Optional[DataFrame]:
+    """Read the union of all committed snapshots (latest-wins dedup on url:
+    rows from higher snapshot ids shadow lower, the MERGE semantics)."""
+    snaps = committed_snapshots(root)
+    if not snaps:
+        return None
+    from pyspark.sql.window import Window
+
+    dfs = None
+    for s in snaps:
+        df = spark.read.parquet(_snap_dir(root, s["snapshot_id"])) \
+            .withColumn("_snap", F.lit(s["snapshot_id"]))
+        dfs = df if dfs is None else dfs.unionByName(df)
+    w = Window.partitionBy("url").orderBy(F.col("_snap").desc())
+    return (dfs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn", "_snap"))

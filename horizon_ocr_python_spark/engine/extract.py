@@ -1,0 +1,120 @@
+"""The fused extraction stage: pages DataFrame -> documents DataFrame.
+
+One Arrow-batched `mapInPandas` runs the whole kernel pipeline
+(parse -> boilerplate strip -> reading order -> KIE -> fuse -> validate)
+per document, so page payloads never cross a stage boundary (SURVEY §4
+custom-work 2: Catalyst cannot fuse across two Python UDF stages without
+serializing the intermediate).
+
+Vectorization pattern (SURVEY §2.4 O2): the per-document Python loop lives
+*inside* the Arrow batch — Spark hands us pandas DataFrames of
+`arrow.maxRecordsPerBatch` rows; there is no Spark-row-at-a-time Python.
+Error containment is per row (status/error columns, types.py:317-323) —
+a poisoned document must not kill a 10^12-row task.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..kernel.document import extract_document
+from .schema import DOCUMENT_SCHEMA
+
+
+def _doc_to_row(url, warc_ts, lang, doc: dict, content_key: str,
+                partition_id: int, extract_ms: float) -> dict:
+    fields = [{
+        "name": f["name"],
+        "value": str(f["value"]) if f["value"] is not None else None,
+        "data_type": f["data_type"],
+        "confidence": float(f["confidence"]),
+        "status": f["status"],
+        "chosen_source": f.get("chosen_source"),
+        "n_candidates": len(f.get("candidates", [])),
+    } for f in doc.get("fields", [])]
+    v = doc.get("validation") or {}
+    blocks_total = len(doc["pages"][0]["layout_regions"]) if doc.get("pages") else 0
+    content_total = len(doc["pages"][0]["text_lines"]) if doc.get("pages") else 0
+    return {
+        "url": url,
+        "doc_id": doc["id"],
+        "content_key": content_key,
+        "status": doc["status"],
+        "error": doc.get("error", ""),
+        "file_type": doc["metadata"].get("file_type", "unknown"),
+        "warc_ts": warc_ts,
+        "lang": lang,
+        "title": doc.get("title", ""),
+        "raw_text": doc.get("raw_text", ""),
+        "n_chars": len(doc.get("raw_text", "")),
+        "n_blocks": blocks_total,
+        "n_content_blocks": content_total,
+        "fields": fields,
+        "tables": [{"rows": t.get("rows", [])} for t in doc.get("tables", [])],
+        "validation": {
+            "passed": bool(v.get("passed", True)),
+            "total_checks": int(v.get("total_checks", 0)),
+            "passed_checks": int(v.get("passed_checks", 0)),
+            "failed_checks": int(v.get("failed_checks", 0)),
+            "issues": list(v.get("issues", [])),
+        },
+        "partition_id": partition_id,
+        "extract_ms": extract_ms,
+    }
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body. Iterator-of-batches keeps memory bounded (the
+    reference's lazy page iterator, io/pdf.py:86-115, gives the same
+    property per document)."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+
+    for pdf in batches:
+        rows = []
+        for url, warc_ts, html, lang in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]):
+            t0 = time.perf_counter()
+            payload = bytes(html) if html is not None else b""
+            content_key = hashlib.sha256(payload).hexdigest()
+            doc = extract_document(url, payload, warc_ts, lang)
+            ms = (time.perf_counter() - t0) * 1000.0
+            rows.append(_doc_to_row(url, warc_ts, lang, doc, content_key, pid, ms))
+        if rows:
+            yield pd.DataFrame(rows)
+
+
+def extract_stage(pages: DataFrame) -> DataFrame:
+    """Run the fused extraction stage over a pages DataFrame.
+
+    Column pruning: only (url, warc_ts, html, lang) are shipped to Python —
+    the ground-truth `text` column (test-only) is never read here, so the
+    parquet scan prunes it (check ReadSchema in .explain).
+    """
+    cols = ["url", "warc_ts", "html", "lang"]
+    return pages.select(*cols).mapInPandas(_extract_batches, DOCUMENT_SCHEMA)
+
+
+def extracted_metrics(documents: DataFrame,
+                      snapshot_id: Optional[int] = None) -> DataFrame:
+    """Per-partition lineage/metrics table (SURVEY §4 custom-work 3):
+    (partition_id, n_docs, n_ok, n_err, wall_ms, snapshot_id).
+
+    Pure relational aggregation over the stage output — one map-side-combined
+    groupBy, no extra pass over the payloads.
+    """
+    from pyspark.sql import functions as F
+
+    return (documents.groupBy("partition_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("n_err"),
+        F.sum("extract_ms").alias("wall_ms"),
+    ).withColumn("snapshot_id", F.lit(snapshot_id).cast("long")))
