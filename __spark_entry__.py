@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark):  flagship extraction pipeline over a deterministic synthetic
+               pages table (BASELINE.json input_hint shape) sized off
+               sf0.001 — salted repartition -> fused Arrow extraction ->
+               per-document structured output.
+queries():     implemented operators from SURVEY §2, each over the driver's
+               sf tables, each with a DuckDB oracle in oracle_sql().
+oracle_sql():  ANSI-SQL equivalents; column names/rounding aligned by
+               construction (see horizon_ocr_python_spark.operators.*).
 """
 
 from __future__ import annotations
@@ -12,27 +15,121 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from horizon_ocr_python_spark.operators import (
+    dedup,
+    fuse_relational,
+    relational,
+    sessionize,
+    similarity,
+    textops,
+    validators_sql,
+)
+
+FLAGSHIP_N_PAGES = 400  # ~sf0.001 scale (documents table there is 500 rows)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the end-to-end extraction pipeline.
+
+    Builds the Common-Crawl-style pages table (url, warc_ts, html, text,
+    lang) deterministically (seed 42), runs salted-repartition + the fused
+    Arrow extraction stage, and returns the structured per-document result.
+    The ground-truth `text` column is joined back so the output carries its
+    own correctness verdict per row (byte_identical).
+    """
+    from horizon_ocr_python_spark.engine.extract import extract_stage
+    from horizon_ocr_python_spark.engine.partitioning import salted_repartition
+    from horizon_ocr_python_spark.engine.pipeline import pages_dataframe
+
+    pages = pages_dataframe(spark, FLAGSHIP_N_PAGES, seed=42)
+    docs = extract_stage(salted_repartition(pages, 16))
+    truth = pages.select("url", F.col("text").alias("expected_text"))
+    return (docs.join(truth, "url")
+            .select(
+                "url", "doc_id", "status", "file_type", "title", "raw_text",
+                (F.col("raw_text") == F.col("expected_text")).alias("byte_identical"),
+                F.size("fields").alias("n_fields"),
+                F.col("validation.passed").alias("validation_passed"),
+                "n_chars", "partition_id")
+            .orderBy("url"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # K7 / text pipeline operators (documents substrate)
+        "k7_quality_filter": textops.quality_filter,
+        "lang_id": textops.lang_id,
+        "token_count": textops.token_count,
+        "fingerprint": textops.fingerprint,
+        "quality_score": textops.quality_score,
+        # dedup family
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash": dedup.simhash,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # similarity search
+        "cosine_topk": similarity.cosine_topk,
+        "l2_norms": similarity.l2_norms,
+        "lsh_bucket_ann": similarity.lsh_bucket_ann,
+        # window/sessionization (D13/O7/R1 dataset forms)
+        "d13_gap_sessionize": sessionize.gap_sessionize,
+        "o7_worst_k": sessionize.worst_k,
+        "r1_yband_dedup": sessionize.yband_dedup,
+        "r1_reading_order_sort": sessionize.reading_order_sort,
+        # fusion as relational algebra (K5/K6)
+        "k5_weighted_vote": fuse_relational.weighted_vote,
+        "k5_consensus": fuse_relational.consensus,
+        "k6_field_status": fuse_relational.field_status,
+        # validators as expressions (V1-V5, R3)
+        "v1_amount_roundtrip": validators_sql.v1_amount_roundtrip,
+        "v2_total_check": validators_sql.v2_total_check,
+        "v3_date_normalize": validators_sql.v3_date_normalize,
+        "v4_currency_validate": validators_sql.v4_currency_validate,
+        "v5_regex_validate": validators_sql.v5_regex_validate,
+        "r3_font_bins": validators_sql.r3_font_bins,
+        # relational coverage (gap list §2.9)
+        "tpch_q1_pricing_summary": relational.pricing_summary,
+        "tpch_q3_top_revenue": relational.top_revenue_orders,
+        "rollup_pricing": relational.rollup_pricing,
+        "k2_json_flatten": relational.k2_json_flatten,
+        "set_ops_users": relational.set_ops_dedup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "k7_quality_filter": textops.QUALITY_FILTER_SQL,
+        "lang_id": textops.LANG_ID_SQL,
+        "token_count": textops.TOKEN_COUNT_SQL,
+        "fingerprint": textops.FINGERPRINT_SQL,
+        "quality_score": textops.QUALITY_SCORE_SQL,
+        "exact_dedup": dedup.EXACT_DEDUP_SQL,
+        "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
+        "minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,
+        "simhash": dedup.SIMHASH_SQL,
+        "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
+        "cosine_topk": similarity.COSINE_TOPK_SQL,
+        "l2_norms": similarity.L2_NORMS_SQL,
+        "lsh_bucket_ann": similarity.LSH_BUCKET_ANN_SQL,
+        "d13_gap_sessionize": sessionize.GAP_SESSIONIZE_SQL,
+        "o7_worst_k": sessionize.WORST_K_SQL,
+        "r1_yband_dedup": sessionize.YBAND_DEDUP_SQL,
+        "r1_reading_order_sort": sessionize.READING_ORDER_SORT_SQL,
+        "k5_weighted_vote": fuse_relational.WEIGHTED_VOTE_SQL,
+        "k5_consensus": fuse_relational.CONSENSUS_SQL,
+        "k6_field_status": fuse_relational.FIELD_STATUS_SQL,
+        "v1_amount_roundtrip": validators_sql.V1_AMOUNT_ROUNDTRIP_SQL,
+        "v2_total_check": validators_sql.V2_TOTAL_CHECK_SQL,
+        "v3_date_normalize": validators_sql.V3_DATE_NORMALIZE_SQL,
+        "v4_currency_validate": validators_sql.V4_CURRENCY_VALIDATE_SQL,
+        "v5_regex_validate": validators_sql.V5_REGEX_VALIDATE_SQL,
+        "r3_font_bins": validators_sql.R3_FONT_BINS_SQL,
+        "tpch_q1_pricing_summary": relational.PRICING_SUMMARY_SQL,
+        "tpch_q3_top_revenue": relational.TOP_REVENUE_ORDERS_SQL,
+        "rollup_pricing": relational.ROLLUP_PRICING_SQL,
+        "k2_json_flatten": relational.K2_JSON_FLATTEN_SQL,
+        "set_ops_users": relational.SET_OPS_DEDUP_SQL,
+    }

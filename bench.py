@@ -1,0 +1,88 @@
+"""Benchmark runner — prints ONE JSON line for the driver.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+  extract_pipeline   the flagship: salted repartition + fused Arrow
+                     extraction over N_PAGES synthetic pages (the engine's
+                     actual workload; docs/sec reported alongside)
+  + representative heavy operators (dedup, similarity, windows, joins)
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+
+
+def main() -> None:
+    from horizon_ocr_python_spark.engine.extract import extract_stage
+    from horizon_ocr_python_spark.engine.partitioning import salted_repartition
+    from horizon_ocr_python_spark.engine.pipeline import pages_dataframe
+    from horizon_ocr_python_spark.engine.session import build_session
+    from horizon_ocr_python_spark.operators import (
+        dedup, relational, sessionize, similarity, textops)
+
+    spark = build_session(master=f"local[{CPUS}]",
+                          shuffle_partitions=2 * CPUS,
+                          app_name="horizon-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    n_docs_extracted = 0
+
+    def run(name, thunk):
+        t0 = time.perf_counter()
+        out = thunk()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # flagship extraction pipeline (count forces full execution)
+    def _extract():
+        pages = pages_dataframe(spark, N_PAGES, seed=42)
+        docs = extract_stage(salted_repartition(pages, 4 * CPUS))
+        return docs.filter(docs.status == "ok").count()
+
+    n_docs_extracted = run("extract_pipeline", _extract)
+
+    for name, fn in [
+        ("tpch_q1_pricing_summary", relational.pricing_summary),
+        ("tpch_q3_top_revenue", relational.top_revenue_orders),
+        ("minhash_signatures", dedup.minhash_signatures),
+        ("simhash", dedup.simhash),
+        ("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs),
+        ("cosine_topk", similarity.cosine_topk),
+        ("d13_gap_sessionize", sessionize.gap_sessionize),
+        ("o7_worst_k", sessionize.worst_k),
+        ("token_count", textops.token_count),
+    ]:
+        run(name, lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save())
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "total wall time, extraction pipeline + operator suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs_per_sec": round(n_docs_extracted / timings["extract_pipeline"], 2),
+        "n_pages": N_PAGES,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Classic relational coverage: aggregation pipelines, broadcast joins,
+top-k, rollup, and JSON flattening (K2's dataset-level analogue).
+
+These cover the gap list of SURVEY §2.9 — operators the reference lacks but
+a complete engine needs: multi-table joins, grouped aggregation with
+map-side combine, grouping-sets rollup, global top-k, semi-structured
+flattening.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped aggregation with map-side partial aggregation
+    (check 'partial_' aggregates in .explain). Sums rounded 2dp for
+    cross-engine FP stability."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                 F.round(F.sum(charge), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with an explicitly broadcast dimension
+    (customer is small — never shuffle the fact side for it), grouped
+    revenue, global top-10."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("o_orderkey")
+            .agg(F.round(F.sum(revenue), 2).alias("revenue"),
+                 F.min("o_orderdate").cast("date").cast("string").alias("orderdate"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10)
+            .withColumnRenamed("o_orderkey", "orderkey"))
+
+
+TOP_REVENUE_ORDERS_SQL = """
+SELECT o_orderkey AS orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(min(o_orderdate)::DATE AS VARCHAR) AS orderdate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+"""
+
+
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (returnflag, linestatus) — subtotals + grand
+    total; NULL group markers coalesced to 'ALL' for stable comparison."""
+    li = table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count("*").alias("n_rows"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                    "sum_qty", "n_rows")
+            .orderBy("returnflag", "linestatus"))
+
+
+ROLLUP_PRICING_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def k2_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured flattening — the dataset-level analogue of the KIE
+    dict->fields flatten (kie/donut_runner.py:261-345): pull typed values
+    out of the JSON props column."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.select("event_id",
+                      F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"))
+            .orderBy("event_id"))
+
+
+K2_JSON_FLATTEN_SQL = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+FROM events
+ORDER BY event_id
+"""
+
+
+def set_ops_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations coverage: users appearing in 'click' events but never
+    in 'purchase' events (anti-join / EXCEPT shape)."""
+    ev = table(spark, sf_dir, "events")
+    types = [r[0] for r in ev.select("event_type").distinct().orderBy("event_type")
+             .limit(2).collect()]
+    a = ev.filter(F.col("event_type") == types[0]).select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == types[1]).select("user_id").distinct()
+    return a.exceptAll(b).orderBy("user_id")
+
+
+SET_OPS_DEDUP_SQL = """
+WITH t AS (SELECT DISTINCT event_type FROM events ORDER BY event_type LIMIT 2),
+t0 AS (SELECT event_type FROM t ORDER BY event_type LIMIT 1),
+t1 AS (SELECT event_type FROM t ORDER BY event_type DESC LIMIT 1)
+SELECT DISTINCT user_id FROM events WHERE event_type = (SELECT * FROM t0)
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = (SELECT * FROM t1)
+ORDER BY user_id
+"""

@@ -1,0 +1,155 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- brute-force cosine top-k: the exactness baseline. Query set x corpus via
+  broadcast of the (small) query side; dot/norm as built-in higher-order
+  functions (F.aggregate / F.zip_with) — JVM-side, no Python.
+- LSH-bucketed variant (random-hyperplane signs): the scale path — candidates
+  only within matching sign-bucket, turning O(Q*N) into per-bucket joins.
+
+Float discipline for oracle parity: elements cast to double BEFORE any
+arithmetic, fold in list order, sim = dot/(sqrt(na)*sqrt(nb)), round(...,4)
+on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import table
+
+TOP_K = 3
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+
+def _dvec(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sqnorm(a):
+    return F.aggregate(F.transform(a, lambda x: x * x),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each query vector (vec_id < 5): top-3 nearest corpus vectors
+    (vec_id >= 5) by cosine similarity. Broadcast the query side — the
+    corpus is never shuffled."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("v"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES) \
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+
+    sim = F.round(
+        _dot(F.col("qv"), F.col("v"))
+        / (F.sqrt(_sqnorm(F.col("qv"))) * F.sqrt(_sqnorm(F.col("v")))), 4)
+    scored = (corpus.crossJoin(F.broadcast(queries))
+              .select("q_id", "vec_id", sim.alias("sim")))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("q_id", "rank", "vec_id", "sim")
+            .orderBy("q_id", "rank"))
+
+
+COSINE_TOPK_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+    round(
+      list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i]))
+      / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+         * sqrt(list_sum(list_transform(c.v, x -> x*x)))), 4) AS sim
+  FROM emb q JOIN emb c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+)
+SELECT q_id, rank, vec_id, sim FROM (
+  SELECT q_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+              AS INT) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+def l2_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm (the normalize-before-index primitive)."""
+    emb = table(spark, sf_dir, "embeddings")
+    norm = F.round(F.sqrt(_sqnorm(_dvec(F.col("embedding")))), 4)
+    return emb.select("vec_id", "label", norm.alias("l2_norm")).orderBy("vec_id")
+
+
+L2_NORMS_SQL = """
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 4)
+         AS l2_norm
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+def lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH via deterministic sign
+    projections. Bucket key = signs of the sum of 4 fixed coordinate strides
+    (a seeded, data-independent projection — no model state to broadcast).
+    Neighbors are searched only inside the query's bucket.
+
+    Output: per query, its bucket key and candidate count — the recall/cost
+    knob made visible. (Exactness baseline above is the correctness anchor.)
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("v"))
+
+    def proj(stride: int):
+        # sum of every `stride`-th coordinate — deterministic hyperplane
+        idx = F.sequence(F.lit(0), F.size(F.col("v")) - 1)
+        sel = F.filter(idx, lambda i: i % stride == 0)
+        s = F.aggregate(F.transform(sel, lambda i: F.element_at(F.col("v"), i + 1)),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(s >= 0, "1").otherwise("0")
+
+    bucketed = emb.select(
+        "vec_id",
+        F.concat(proj(2), proj(3), proj(5), proj(7)).alias("bucket"))
+    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("bucket_size"))
+    return (bucketed.filter(F.col("vec_id") < N_QUERIES)
+            .join(F.broadcast(counts), "bucket")
+            .select("vec_id", "bucket",
+                    (F.col("bucket_size") - 1).alias("n_candidates"))
+            .orderBy("vec_id"))
+
+
+LSH_BUCKET_ANN_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bucketed AS (
+  SELECT vec_id,
+    (CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+        i -> CASE WHEN (i-1) % 2 = 0 THEN v[i] ELSE 0 END)) >= 0
+      THEN '1' ELSE '0' END) ||
+    (CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+        i -> CASE WHEN (i-1) % 3 = 0 THEN v[i] ELSE 0 END)) >= 0
+      THEN '1' ELSE '0' END) ||
+    (CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+        i -> CASE WHEN (i-1) % 5 = 0 THEN v[i] ELSE 0 END)) >= 0
+      THEN '1' ELSE '0' END) ||
+    (CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+        i -> CASE WHEN (i-1) % 7 = 0 THEN v[i] ELSE 0 END)) >= 0
+      THEN '1' ELSE '0' END) AS bucket
+  FROM emb
+), counts AS (
+  SELECT bucket, count(*) AS bucket_size FROM bucketed GROUP BY bucket
+)
+SELECT b.vec_id, b.bucket, CAST(c.bucket_size - 1 AS BIGINT) AS n_candidates
+FROM bucketed b JOIN counts c USING (bucket)
+WHERE b.vec_id < {N_QUERIES}
+ORDER BY b.vec_id
+"""
