@@ -14,15 +14,20 @@ from pyspark.sql import functions as F
 
 def salted_repartition(df: DataFrame, num_partitions: int,
                        key: str = "url", salt: int = 42) -> DataFrame:
-    """repartition(N, pmod(hash(key, salt), N)).
+    """repartition(N, xxhash64(key, salt)).
+
+    The partition expression must span the FULL hash range: Spark murmur3-
+    hashes the expression value again to pick the partition, so a pre-modded
+    expression (pmod(hash(key), N)) yields only N distinct inputs to that
+    second hash — collisions leave some partitions empty and others double-
+    loaded (observed: 5 of 8 partitions used, 3:1 skew). With the raw 64-bit
+    salted hash the composition is uniform.
 
     Deterministic for fixed (key, salt, N) — task retries land rows in the
     same partition, which resume/idempotence relies on.
     """
-    return df.repartition(
-        num_partitions,
-        F.pmod(F.hash(F.col(key), F.lit(salt)), F.lit(num_partitions)),
-    )
+    return df.repartition(num_partitions,
+                          F.xxhash64(F.col(key), F.lit(salt)))
 
 
 def partitions_for(spark, rows_hint: int | None = None,

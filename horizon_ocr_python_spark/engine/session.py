@@ -43,6 +43,18 @@ def build_session(master: str | None = None, app_name: str = "horizon-spark",
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.local.dir", _local_dir())
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def _local_dir() -> str:
+    """Shuffle/spill directory. On this single box the one data disk is a
+    shared bottleneck that does not scale with task threads (a real cluster
+    adds disks with executors), so prefer tmpfs when present."""
+    shm = "/dev/shm/spark-local"
+    if os.path.isdir("/dev/shm"):
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    return "/tmp"

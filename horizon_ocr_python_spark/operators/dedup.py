@@ -32,6 +32,14 @@ def _words(col):
     return F.filter(F.split(F.lower(col), " "), lambda x: x != "")
 
 
+def _rebalanced(df: DataFrame):
+    """Fan-out stages inherit the scan's split count — a single small file
+    means a single task doing the whole explode. Rebalance rows across the
+    cluster BEFORE the fan-out so the (words x seeds/bits) explosion
+    parallelizes; the pre-explode shuffle is tiny (one row per doc)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # --- exact dedup (C6: sha-keyed upload dedup, dataset form) -------------------
 
 
@@ -63,7 +71,7 @@ def _minhash_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, seed, minhash) long-form: explode words, cross the tiny seed
     range (broadcast — 8 rows), min-agg. Map-side combine keeps the shuffle
     at n_docs x n_seeds rows regardless of corpus size."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _rebalanced(table(spark, sf_dir, "documents"))
     words = docs.select(
         "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w"))
     seeds = spark.range(NUM_HASHES).toDF("seed")
@@ -151,23 +159,25 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Token multiplicity counts (same as the kernel: votes per occurrence).
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = _rebalanced(table(spark, sf_dir, "documents"))
     toks = (docs
             .select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
             .select("doc_id",
                     F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
                     .cast("long").alias("h")))
-    bits = spark.range(32).toDF("b")
-    # shiftright/shiftleft with a *column* bit count need the SQL form
-    # (the PySpark wrappers only take a literal int)
-    bit_set = F.expr("shiftright(h, cast(b as int)) & 1") == 1
-    votes = (toks.crossJoin(F.broadcast(bits))
-             .groupBy("doc_id", "b")
-             .agg(F.sum(F.when(bit_set, 1).otherwise(-1)).alias("vote")))
-    return (votes.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("vote") > 0,
-                              F.expr("shiftleft(cast(1 as bigint), cast(b as int))"))
-                       .otherwise(F.lit(0).cast("long"))).alias("simhash"))
+    # One conditional-sum aggregate per bit instead of a 32x bit fan-out:
+    # a single groupBy(doc_id) with 32 agg expressions shuffles 1 row/doc,
+    # vs 32 rows/doc-token for the naive explode — same result, ~30x less
+    # shuffle and no crossJoin stage.
+    votes = [F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
+                   .otherwise(-1)).alias(f"v{b}") for b in range(32)]
+    packed = None
+    for b in range(32):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return (toks.groupBy("doc_id").agg(*votes)
+            .select("doc_id", packed.alias("simhash"))
             .orderBy("doc_id"))
 
 

@@ -35,7 +35,20 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def has_wholestage_codegen(df: DataFrame) -> bool:
-    return "WholeStageCodegen" in physical_plan(df)
+    """Under AQE the plan string hides WholeStageCodegen until finalized, and
+    a write executes a *copy* of the plan, so the original never finalizes.
+    Toggle AQE off, re-derive an identical DataFrame from the same logical
+    plan (fresh QueryExecution picks up the conf), and inspect that."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        clone = df.select("*")
+        # codegen stages print as `*(n) Operator` in executedPlan.toString
+        return bool(re.search(r"^\s*[+\-:]*\s*\*\(\d+\)", physical_plan(clone),
+                              re.MULTILINE))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def n_exchanges(df: DataFrame) -> int:

@@ -1,0 +1,124 @@
+"""Physical-plan assertions: the plan we want, not just the first one that
+passed. These pin the properties that matter at 100 TB:
+
+- filters reach the parquet scan (PushedFilters)
+- scans read only needed columns (ReadSchema)
+- small dims broadcast (BroadcastHashJoin, never a shuffle of the fact side)
+- grouped aggs have map-side partial aggregation
+- expression-only operators stay inside WholeStageCodegen
+- the extraction pipeline has exactly one shuffle
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from horizon_ocr_python_spark import plans
+from horizon_ocr_python_spark.operators import relational, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestScans:
+    def test_quality_filter_pushdown_and_pruning(self, spark):
+        df = textops.quality_filter(spark, SF)
+        plan = plans.physical_plan(df)
+        assert "PushedFilters" in plan
+        # n_chars >= 150 must reach the scan
+        assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(n_chars,150\)",
+                         plan), plans.pushed_filters_of(df)
+        # text column needed for the trim-length filter, but doc-irrelevant
+        # columns (source) must be pruned
+        assert "source" not in plans.read_schema_of(df)
+
+    def test_token_count_reads_two_columns(self, spark):
+        df = textops.token_count(spark, SF)
+        rs = plans.read_schema_of(df)
+        assert "doc_id" in rs and "text" in rs
+        assert "lang" not in rs and "source" not in rs and "n_chars" not in rs
+
+
+class TestJoins:
+    def test_q3_broadcasts_customer(self, spark):
+        df = relational.top_revenue_orders(spark, SF)
+        assert plans.has_broadcast_join(df)
+
+    def test_q1_has_partial_aggregation(self, spark):
+        df = relational.pricing_summary(spark, SF)
+        plan = plans.physical_plan(df)
+        assert re.search(r"partial_(sum|count|avg)", plan), \
+            "no map-side partial aggregation in Q1 plan"
+
+
+class TestCodegen:
+    def test_expression_operators_codegen(self, spark):
+        for fn in [textops.lang_id, textops.fingerprint, textops.quality_score]:
+            assert plans.has_wholestage_codegen(fn(spark, SF)), fn.__name__
+
+
+class TestShuffles:
+    def test_extract_pipeline_single_shuffle(self, spark, tmp_path):
+        """read -> salted repartition -> mapInPandas: exactly one Exchange."""
+        from horizon_ocr_python_spark.engine.extract import extract_stage
+        from horizon_ocr_python_spark.engine.partitioning import salted_repartition
+        from horizon_ocr_python_spark.engine.pipeline import pages_dataframe
+
+        path = str(tmp_path / "pages")
+        pages_dataframe(spark, 20, seed=42).write.parquet(path)
+        docs = extract_stage(salted_repartition(spark.read.parquet(path), 8))
+        assert plans.n_exchanges(docs) == 1, plans.physical_plan(docs)
+
+    def test_worst_k_single_shuffle(self, spark):
+        from horizon_ocr_python_spark.operators import sessionize
+
+        df = sessionize.worst_k(spark, SF)
+        # partitionBy(user_id) window + final orderBy -> hash + range = 2;
+        # the window itself must not add more
+        assert plans.n_exchanges(df) <= 2, plans.physical_plan(df)
+
+
+class TestFunctions:
+    def test_parse_amount_expr_matches_kernel(self, spark):
+        from horizon_ocr_python_spark.functions.columns import parse_amount_expr
+        from horizon_ocr_python_spark.kernel.validators import parse_amount
+
+        cases = ["$1,234.56", "1.234,56", "123,45", "1,234", "495", "abc",
+                 "€1.000,50", "-12.5", "  $10  "]
+        df = spark.createDataFrame([(c,) for c in cases], ["s"])
+        got = {r.s: r.parsed for r in
+               df.select("s", parse_amount_expr(F.col("s")).alias("parsed")).collect()}
+        for c in cases:
+            expected = parse_amount(c)
+            if expected is None:
+                assert got[c] is None, c
+            else:
+                assert got[c] == pytest.approx(expected), c
+
+    def test_normalize_date_expr_matches_kernel(self, spark):
+        from horizon_ocr_python_spark.functions.columns import normalize_date_expr
+        from horizon_ocr_python_spark.kernel.validators import normalize_date
+
+        cases = ["2024-01-15", "15/01/2024", "January 15, 2024", "Jan 15, 2024",
+                 "2024/01/15", "2024-01-15 10:30:00", "garbage"]
+        df = spark.createDataFrame([(c,) for c in cases], ["s"])
+        got = {r.s: r.iso for r in
+               df.select("s", normalize_date_expr(F.col("s")).alias("iso")).collect()}
+        for c in cases:
+            assert got[c] == normalize_date(c), c
+
+    def test_currency_and_shape_exprs(self, spark):
+        from horizon_ocr_python_spark.functions.columns import (
+            currency_valid_expr, looks_like_amount_expr)
+
+        df = spark.createDataFrame(
+            [("USD",), ("$",), ("XXX",), ("usd",)], ["c"])
+        got = [r.ok for r in df.select(currency_valid_expr(F.col("c")).alias("ok"))
+               .collect()]
+        assert got == [True, True, False, True]
+
+        df2 = spark.createDataFrame(
+            [("$1,234.56",), ("BATTERY",), ("495",)], ["v"])
+        got2 = [r.ok for r in df2.select(looks_like_amount_expr(F.col("v")).alias("ok"))
+                .collect()]
+        assert got2 == [True, False, True]
