@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from horizon_ocr_python_spark.operators import (
+    arrow_ops,
     dedup,
     fuse_relational,
     relational,
@@ -96,6 +97,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": relational.rollup_pricing,
         "k2_json_flatten": relational.k2_json_flatten,
         "set_ops_users": relational.set_ops_dedup,
+        # Arrow-batched Python path with exact oracles
+        "k1_parse_tagged": arrow_ops.k1_parse_tagged,
+        "token_count_arrow": arrow_ops.token_count_arrow,
+        "multimodal_meta": arrow_ops.multimodal_meta,
+        "k9_anchor_join": arrow_ops.k9_anchor_join,
+        # rows-only (markdown structure is not SQL-expressible; kernel
+        # renderer is pinned by unit tests instead)
+        "s6_markdown_render": arrow_ops.s6_markdown_render,
     }
 
 
@@ -132,4 +141,9 @@ def oracle_sql() -> dict[str, str]:
         "rollup_pricing": relational.ROLLUP_PRICING_SQL,
         "k2_json_flatten": relational.K2_JSON_FLATTEN_SQL,
         "set_ops_users": relational.SET_OPS_DEDUP_SQL,
+        "k1_parse_tagged": arrow_ops.K1_PARSE_TAGGED_SQL,
+        "token_count_arrow": arrow_ops.TOKEN_COUNT_ARROW_SQL,
+        "multimodal_meta": arrow_ops.MULTIMODAL_META_SQL,
+        "k9_anchor_join": arrow_ops.K9_ANCHOR_JOIN_SQL,
+        # s6_markdown_render intentionally has no oracle (rows-only check)
     }

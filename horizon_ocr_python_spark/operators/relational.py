@@ -124,22 +124,18 @@ ORDER BY event_id
 
 
 def set_ops_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations coverage: users appearing in 'click' events but never
-    in 'purchase' events (anti-join / EXCEPT shape)."""
+    """Set operations coverage (EXCEPT / anti-join shape): users who crossed
+    the mid-value band (>300) but never the high band (>380) — the value
+    distribution tails make this non-trivially non-empty at every sf."""
     ev = table(spark, sf_dir, "events")
-    types = [r[0] for r in ev.select("event_type").distinct().orderBy("event_type")
-             .limit(2).collect()]
-    a = ev.filter(F.col("event_type") == types[0]).select("user_id").distinct()
-    b = ev.filter(F.col("event_type") == types[1]).select("user_id").distinct()
+    a = ev.filter(F.col("value") > 300).select("user_id").distinct()
+    b = ev.filter(F.col("value") > 380).select("user_id").distinct()
     return a.exceptAll(b).orderBy("user_id")
 
 
 SET_OPS_DEDUP_SQL = """
-WITH t AS (SELECT DISTINCT event_type FROM events ORDER BY event_type LIMIT 2),
-t0 AS (SELECT event_type FROM t ORDER BY event_type LIMIT 1),
-t1 AS (SELECT event_type FROM t ORDER BY event_type DESC LIMIT 1)
-SELECT DISTINCT user_id FROM events WHERE event_type = (SELECT * FROM t0)
+SELECT DISTINCT user_id FROM events WHERE value > 300
 EXCEPT
-SELECT DISTINCT user_id FROM events WHERE event_type = (SELECT * FROM t1)
+SELECT DISTINCT user_id FROM events WHERE value > 380
 ORDER BY user_id
 """

@@ -20,8 +20,8 @@ class TestEntryContract:
 
         qs, os_ = e.queries(), e.oracle_sql()
         assert set(os_) <= set(qs)
-        # every query currently has an oracle
-        assert set(os_) == set(qs)
+        # every query has an oracle except the deliberately rows-only ones
+        assert set(qs) - set(os_) == {"s6_markdown_render"}
 
     def test_sampled_queries_run(self, spark):
         import __spark_entry__ as e
