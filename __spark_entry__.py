@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from horizon_ocr_python_spark.operators import (
     arrow_ops,
     dedup,
+    extras,
     fuse_relational,
     relational,
     sessionize,
@@ -105,6 +106,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (markdown structure is not SQL-expressible; kernel
         # renderer is pinned by unit tests instead)
         "s6_markdown_render": arrow_ops.s6_markdown_render,
+        # further §2 surfaces
+        "o6_conf_reroute": extras.o6_conf_reroute,
+        "d8_interval_merge": extras.d8_interval_merge,
+        "r5_style_estimate": extras.r5_style_estimate,
+        "c2_cost_rollup": extras.c2_cost_rollup,
+        "o2_route_dispatch": extras.o2_route_dispatch,
     }
 
 
@@ -146,4 +153,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": arrow_ops.MULTIMODAL_META_SQL,
         "k9_anchor_join": arrow_ops.K9_ANCHOR_JOIN_SQL,
         # s6_markdown_render intentionally has no oracle (rows-only check)
+        "o6_conf_reroute": extras.O6_CONF_REROUTE_SQL,
+        "d8_interval_merge": extras.D8_INTERVAL_MERGE_SQL,
+        "r5_style_estimate": extras.R5_STYLE_ESTIMATE_SQL,
+        "c2_cost_rollup": extras.C2_COST_ROLLUP_SQL,
+        "o2_route_dispatch": extras.O2_ROUTE_DISPATCH_SQL,
     }

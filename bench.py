@@ -48,10 +48,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # flagship extraction pipeline (count forces full execution)
+    # flagship extraction pipeline. Input is materialized to parquet first
+    # (untimed — BASELINE.md protocol: build the table once; the measured
+    # job is read -> salted repartition -> fused extraction -> count).
+    pages_path = f"/tmp/bench_pages_{N_PAGES}"
+    if not os.path.exists(pages_path):
+        pages_dataframe(spark, N_PAGES, seed=42, slices=2 * CPUS) \
+            .write.parquet(pages_path)
+
     def _extract():
-        pages = pages_dataframe(spark, N_PAGES, seed=42)
-        docs = extract_stage(salted_repartition(pages, 4 * CPUS))
+        pages = spark.read.parquet(pages_path)
+        docs = extract_stage(salted_repartition(pages, 2 * CPUS))
         return docs.filter(docs.status == "ok").count()
 
     n_docs_extracted = run("extract_pipeline", _extract)

@@ -109,10 +109,17 @@ def commit_snapshot(documents: DataFrame, root: str,
     return snap_id
 
 
-def read_table(spark: SparkSession, root: str) -> Optional[DataFrame]:
+def read_table(spark: SparkSession, root: str,
+               as_of_snapshot: Optional[int] = None) -> Optional[DataFrame]:
     """Read the union of all committed snapshots (latest-wins dedup on url:
-    rows from higher snapshot ids shadow lower, the MERGE semantics)."""
+    rows from higher snapshot ids shadow lower, the MERGE semantics).
+
+    `as_of_snapshot` gives Iceberg-style time travel: reconstruct the table
+    exactly as it stood after that snapshot committed.
+    """
     snaps = committed_snapshots(root)
+    if as_of_snapshot is not None:
+        snaps = [s for s in snaps if s["snapshot_id"] <= as_of_snapshot]
     if not snaps:
         return None
     from pyspark.sql.window import Window

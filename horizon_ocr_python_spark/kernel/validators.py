@@ -113,8 +113,19 @@ DATE_FORMATS = [
 ]
 
 
+# Fast path: a bare ISO date can only match "%Y-%m-%d" — the 8 formats tried
+# before it all require a time component or different separators, so jumping
+# straight to it preserves first-match-wins semantics exactly.
+_ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
 def parse_date(value: str) -> tuple[Optional[datetime], Optional[str]]:
     """Try the 18 formats, then each with %Y->%y (validators.py:262-279)."""
+    if _ISO_DATE_RE.match(value):
+        try:
+            return datetime.strptime(value, "%Y-%m-%d"), "%Y-%m-%d"
+        except ValueError:
+            return None, None  # e.g. 2024-13-45: no other format can match
     for fmt in DATE_FORMATS:
         try:
             return datetime.strptime(value, fmt), fmt

@@ -1,0 +1,204 @@
+"""Further SURVEY §2 operator surfaces: conditional recompute (O6),
+interval merge (D8), style estimation (R5), cost rollup (C2), and the
+dispatch-routing shape (O2/K11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import table
+
+# --- O6: confidence-gated recompute ------------------------------------------------
+
+REROUTE_BELOW = 0.60  # thresholds.reroute_to_tesseract_below (config.py:157)
+
+
+def o6_conf_reroute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`CASE WHEN conf < t THEN recompute ELSE keep END` — the Tesseract
+    backup reroute (orchestrator.py:1140-1176) as an expression: recompute
+    only when it improves (replace iff alt_conf > conf)."""
+    docs = table(spark, sf_dir, "documents")
+    conf = (F.col("n_chars") % 100) / 100.0
+    alt_conf = F.round(F.least(conf + 0.25, F.lit(1.0)), 6)
+    rerouted = conf < REROUTE_BELOW
+    improved = rerouted & (alt_conf > conf)
+    return (docs.select(
+        "doc_id",
+        F.round(conf, 6).alias("conf"),
+        F.when(improved, alt_conf).otherwise(F.round(conf, 6)).alias("final_conf"),
+        rerouted.alias("rerouted"),
+        improved.alias("replaced"))
+        .orderBy("doc_id"))
+
+
+O6_CONF_REROUTE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         (n_chars % 100) / 100.0 AS conf,
+         round(least((n_chars % 100) / 100.0 + 0.25, 1.0), 6) AS alt_conf
+  FROM documents
+)
+SELECT doc_id, round(conf, 6) AS conf,
+       CASE WHEN conf < {REROUTE_BELOW} AND alt_conf > conf
+            THEN alt_conf ELSE round(conf, 6) END AS final_conf,
+       conf < {REROUTE_BELOW} AS rerouted,
+       (conf < {REROUTE_BELOW} AND alt_conf > conf) AS replaced
+FROM scored
+ORDER BY doc_id
+"""
+
+# --- D8: 1-D interval merge (box-merge as lag+cumsum) -------------------------------
+
+INTERVAL_LEN = 20.0
+
+
+def d8_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word-box -> line merge (text_craft.py:219-273: merge horizontally
+    adjacent boxes) reduced to its 1-D core: per user, intervals
+    [value, value+20] merge when they overlap the running maximum end —
+    lag/max window + cumulative new-group flags, the same sessionization
+    skeleton as D13 but on ranges, not gaps."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select("user_id", "event_id",
+                   F.round("value", 6).alias("lo"),
+                   F.round(F.col("value") + INTERVAL_LEN, 6).alias("hi"))
+    w = Window.partitionBy("user_id").orderBy("lo", "event_id")
+    running_max_hi = F.max("hi").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    new_group = F.when(running_max_hi.isNull()
+                       | (F.col("lo") > running_max_hi), 1).otherwise(0)
+    grouped = (iv.withColumn("is_new", new_group)
+               .withColumn("grp", F.sum("is_new").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (grouped.groupBy("user_id", "grp")
+            .agg(F.min("lo").alias("merged_lo"),
+                 F.max("hi").alias("merged_hi"),
+                 F.count("*").alias("n_boxes"))
+            .orderBy("user_id", "grp"))
+
+
+D8_INTERVAL_MERGE_SQL = f"""
+WITH iv AS (
+  SELECT user_id, event_id,
+         round(value, 6) AS lo, round(value + {INTERVAL_LEN}, 6) AS hi
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, lo, hi,
+         CASE WHEN max(hi) OVER (PARTITION BY user_id ORDER BY lo, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR lo > max(hi) OVER (PARTITION BY user_id ORDER BY lo, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new
+  FROM iv
+), grouped AS (
+  SELECT user_id, lo, hi,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY lo, event_id
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+)
+SELECT user_id, CAST(grp AS BIGINT) AS grp,
+       min(lo) AS merged_lo, max(hi) AS merged_hi, count(*) AS n_boxes
+FROM grouped
+GROUP BY user_id, grp
+ORDER BY user_id, grp
+"""
+
+# --- R5: style estimation --------------------------------------------------------------
+
+
+def r5_style_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Style estimator (extract/pdf_style_extractor.py:192-258):
+    font_size ~= 0.75 * bbox_height clamped to [6, 72]; bold if the text is
+    ALL-CAPS; role 'title' when near-top and size > 14. Substrate: part
+    rows with height = p_size * 2, text = p_name, rel_y from p_partkey."""
+    part = table(spark, sf_dir, "part")
+    height = F.col("p_size") * 2.0
+    font_size = F.round(F.least(F.greatest(height * 0.75, F.lit(6.0)),
+                                F.lit(72.0)), 2)
+    is_caps = F.col("p_name") == F.upper(F.col("p_name"))
+    rel_y = (F.col("p_partkey") % 10) / 10.0
+    role = F.when((rel_y < 0.15) & (font_size > 14), "title").otherwise("body")
+    return (part.select("p_partkey", font_size.alias("font_size"),
+                        is_caps.alias("bold"), role.alias("role"))
+            .orderBy("p_partkey"))
+
+
+R5_STYLE_ESTIMATE_SQL = """
+WITH s AS (
+  SELECT p_partkey,
+         round(least(greatest(p_size * 2.0 * 0.75, 6.0), 72.0), 2) AS font_size,
+         p_name = upper(p_name) AS bold,
+         (p_partkey % 10) / 10.0 AS rel_y
+  FROM part
+)
+SELECT p_partkey, font_size, bold,
+       CASE WHEN rel_y < 0.15 AND font_size > 14 THEN 'title' ELSE 'body' END AS role
+FROM s
+ORDER BY p_partkey
+"""
+
+# --- C2: cost tracker rollup --------------------------------------------------------------
+
+
+def c2_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost tracker per-service breakdown (azure/cost_tracker.py:97-336:
+    totals + per-service records): per event_type, calls, total/avg value,
+    plus a grand-total row via ROLLUP."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.rollup("event_type")
+            .agg(F.count("*").alias("n_calls"),
+                 F.round(F.sum("value"), 2).alias("total_value"),
+                 F.round(F.avg("value"), 4).alias("avg_value"))
+            .select(F.coalesce("event_type", F.lit("TOTAL")).alias("service"),
+                    "n_calls", "total_value", "avg_value")
+            .orderBy("service"))
+
+
+C2_COST_ROLLUP_SQL = """
+SELECT coalesce(event_type, 'TOTAL') AS service,
+       count(*) AS n_calls,
+       round(sum(value), 2) AS total_value,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY ROLLUP (event_type)
+ORDER BY service
+"""
+
+# --- O2/K11: routing dispatch -----------------------------------------------------------
+
+
+def o2_route_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model routing by a cheap classifier (orchestrator.py:370-409 +
+    trocr.py:168-291 printed/handwritten split): dispatch column via CASE,
+    then per-route batch statistics — the relational skeleton of routed
+    batched inference."""
+    docs = table(spark, sf_dir, "documents")
+    route = (F.when(F.col("lang") == "en", "model_en")
+             .when(F.col("n_chars") >= 500, "model_large")
+             .otherwise("model_multilingual"))
+    return (docs.withColumn("route", route)
+            .groupBy("route")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 F.min("doc_id").alias("first_doc"))
+            .orderBy("route"))
+
+
+O2_ROUTE_DISPATCH_SQL = """
+WITH routed AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN lang = 'en' THEN 'model_en'
+         WHEN n_chars >= 500 THEN 'model_large'
+         ELSE 'model_multilingual' END AS route
+  FROM documents
+)
+SELECT route, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       min(doc_id) AS first_doc
+FROM routed
+GROUP BY route
+ORDER BY route
+"""

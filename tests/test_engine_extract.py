@@ -100,6 +100,14 @@ class TestCheckpointResume:
         snaps = {r.snapshot_id for r in metrics.select("snapshot_id").distinct().collect()}
         assert snaps == {1, 2}
 
+    def test_time_travel_read(self, spark, pages, tmp_path):
+        root = str(tmp_path / "tt")
+        run_extraction(pages.limit(20), output_root=root, num_partitions=2)
+        run_extraction(pages.limit(50), output_root=root, num_partitions=2)
+        assert ckpt.read_table(spark, root, as_of_snapshot=1).count() == 20
+        assert ckpt.read_table(spark, root).count() == 50
+        assert ckpt.read_table(spark, root, as_of_snapshot=0) is None
+
     def test_rerun_noop(self, spark, pages, tmp_path):
         root = str(tmp_path / "out2")
         run_extraction(pages.limit(10), output_root=root, num_partitions=2)
