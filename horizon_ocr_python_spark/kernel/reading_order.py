@@ -131,9 +131,10 @@ def cluster_positions_1d(positions: list[float], threshold: float) -> list[float
     """
     if not positions:
         return []
+    ordered = sorted(positions)
     out: list[float] = []
-    cluster = [positions[0]]
-    for p in sorted(positions)[1:]:
+    cluster = [ordered[0]]
+    for p in ordered[1:]:
         if p - cluster[-1] <= threshold:
             cluster.append(p)
         else:
