@@ -59,7 +59,8 @@ def run_extraction(pages: DataFrame, *, num_partitions: Optional[int] = None,
 
 
 def pages_dataframe(spark: SparkSession, n_rows: int, seed: int = 42,
-                    n_hosts: int = 50, slices: Optional[int] = None) -> DataFrame:
+                    n_hosts: int = 50, slices: Optional[int] = None,
+                    scale: int = 1) -> DataFrame:
     """Synthetic pages as a DataFrame — generated IN PARALLEL on executors.
 
     The generator is seeded per row index, so we parallelize the index range
@@ -79,7 +80,7 @@ def pages_dataframe(spark: SparkSession, n_rows: int, seed: int = 42,
         for pdf in batches:
             rows = []
             for i in pdf["i"]:
-                p = make_page(int(i), seed=seed, n_hosts=n_hosts)
+                p = make_page(int(i), seed=seed, n_hosts=n_hosts, scale=scale)
                 rows.append((p["url"], p["warc_ts"], p["html"], p["text"], p["lang"]))
             if rows:
                 yield pd.DataFrame(rows, columns=PAGES_SCHEMA.fieldNames())

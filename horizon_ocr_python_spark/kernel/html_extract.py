@@ -61,11 +61,11 @@ VOID_TAGS = frozenset({
 MAX_LINK_DENSITY = 0.33   # nav-like threshold: > 1/3 of chars inside <a>
 MIN_BLOCK_CHARS = 3       # blocks shorter than this are noise
 
-_WS_RE = re.compile(r"\s+")
-
-
 def _collapse_ws(text: str) -> str:
-    return _WS_RE.sub(" ", text).strip()
+    # " ".join(split()) == regex r"\s+" -> " " + strip (str.split splits on
+    # every unicode whitespace incl. \xa0, same class as \s) and is ~3x
+    # faster — this runs once per flushed block, a kernel hot spot
+    return " ".join(text.split())
 
 
 class _Extractor(HTMLParser):
@@ -73,7 +73,7 @@ class _Extractor(HTMLParser):
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.stack: list[str] = []
+        self.stack: list[tuple[str, bool]] = []  # (tag, opened_boilerplate)
         self.strip_depth = 0           # > 0 while inside a STRIP_TAGS subtree
         self.boiler_depth = 0          # > 0 while inside a boilerplate container
         self.link_depth = 0            # > 0 while inside <a>
@@ -130,19 +130,17 @@ class _Extractor(HTMLParser):
             return
         if tag in STRIP_TAGS:
             self.strip_depth += 1
-            self.stack.append(tag)
+            self.stack.append((tag, False))
             return
         if tag == "title":
             self.in_title = True
-            self.stack.append(tag)
+            self.stack.append((tag, False))
             return
 
         boiler = tag in BOILERPLATE_CONTAINERS or self._is_boiler_attrs(attrs)
         if boiler:
             self.boiler_depth += 1
-            self.stack.append(tag + "!b")  # mark so the close decrements
-        else:
-            self.stack.append(tag)
+        self.stack.append((tag, boiler))
 
         if tag == "table":
             self._flush()
@@ -167,20 +165,23 @@ class _Extractor(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_TAGS:
             return
-        # unwind the stack to the matching open tag (tolerate bad nesting)
-        marker = None
-        for i in range(len(self.stack) - 1, -1, -1):
-            entry_i = self.stack[i]
-            base = entry_i[:-2] if entry_i.endswith("!b") else entry_i
-            if base == tag:
-                marker = i
-                break
-        if marker is None:
-            return
-        closed = self.stack[marker:]
-        del self.stack[marker:]
-        for entry in reversed(closed):
-            base = entry[:-2] if entry.endswith("!b") else entry
+        # unwind the stack to the matching open tag (tolerate bad nesting);
+        # fast path: the top of the stack matches (the common case)
+        stack = self.stack
+        if stack and stack[-1][0] == tag:
+            closed = [stack.pop()]
+        else:
+            marker = None
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i][0] == tag:
+                    marker = i
+                    break
+            if marker is None:
+                return
+            closed = stack[marker:]
+            closed.reverse()
+            del stack[marker:]
+        for base, was_boiler in closed:
             if base in STRIP_TAGS:
                 self.strip_depth = max(0, self.strip_depth - 1)
             if base == "title":
@@ -190,7 +191,7 @@ class _Extractor(HTMLParser):
             if self.table_depth == 0 and base in BLOCK_TAGS:
                 # flush while boiler_depth still reflects this subtree
                 self._flush()
-            if entry.endswith("!b"):
+            if was_boiler:
                 self.boiler_depth = max(0, self.boiler_depth - 1)
             if base == "table":
                 if self.table_depth == 1 and self._cur_rows:

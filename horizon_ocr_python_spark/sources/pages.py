@@ -65,11 +65,16 @@ def _host_for(i: int, n_hosts: int, rng: random.Random) -> int:
     return n_hosts - 1
 
 
-def make_page(i: int, seed: int = 42, n_hosts: int = 50) -> dict:
+def make_page(i: int, seed: int = 42, n_hosts: int = 50, scale: int = 1) -> dict:
     """Build one deterministic page row + its expected extraction results.
 
     Returns {url, warc_ts, html(bytes), text, lang, expected_title,
     expected_fields (dict), kind}.
+
+    `scale` multiplies the content volume (paragraph count and nav/sidebar
+    chrome). scale=1 (~1.5 KB) keeps tests fast; scale>=8 (~15-40 KB)
+    approximates real Common-Crawl page sizes — use it for benchmarks so
+    per-document compute reflects the production workload.
     """
     rng = random.Random((seed << 20) ^ i)
     host = _host_for(i, n_hosts, rng)
@@ -79,7 +84,7 @@ def make_page(i: int, seed: int = 42, n_hosts: int = 50) -> dict:
     kind = "pdf" if rng.random() < 0.10 else "html"
 
     title = f"Document {i}: " + " ".join(rng.choice(WORDS) for _ in range(3))
-    n_paras = rng.randint(2, 6)
+    n_paras = rng.randint(2, 6) * scale
     paras = [_sentence(rng, rng.randint(8, 25)) for _ in range(n_paras)]
     invoice_no = f"INV-{seed % 97:02d}{i:06d}"
     date_str = (warc_ts - timedelta(days=rng.randint(0, 365))).strftime("%Y-%m-%d")
@@ -112,9 +117,10 @@ def make_page(i: int, seed: int = 42, n_hosts: int = 50) -> dict:
     else:
         nav_items = "".join(
             f'<li><a href="/{rng.choice(WORDS)}">{rng.choice(WORDS)}</a></li>'
-            for _ in range(6))
+            for _ in range(6 * scale))
         sidebar_items = "".join(
-            f'<li><a href="/t/{w}">{w}</a></li>' for w in rng.sample(WORDS, 5))
+            f'<li><a href="/t/{rng.choice(WORDS)}-{k}">{rng.choice(WORDS)}</a></li>'
+            for k in range(5 * scale))
         table_rows = "".join(
             f"<tr><td>{k.replace('_', ' ').title()}</td><td>{v}</td></tr>"
             for k, v in expected_fields.items())
@@ -154,12 +160,15 @@ def make_page(i: int, seed: int = 42, n_hosts: int = 50) -> dict:
     }
 
 
-def generate_pages(n_rows: int, seed: int = 42, n_hosts: int = 50) -> list[dict]:
+def generate_pages(n_rows: int, seed: int = 42, n_hosts: int = 50,
+                   scale: int = 1) -> list[dict]:
     """Generate the pages table rows (input columns only)."""
-    return [make_page(i, seed=seed, n_hosts=n_hosts) for i in range(n_rows)]
+    return [make_page(i, seed=seed, n_hosts=n_hosts, scale=scale)
+            for i in range(n_rows)]
 
 
-def pages_spark_rows(n_rows: int, seed: int = 42, n_hosts: int = 50):
+def pages_spark_rows(n_rows: int, seed: int = 42, n_hosts: int = 50,
+                     scale: int = 1):
     """Rows projected to the input_hint columns, for spark.createDataFrame."""
-    for p in generate_pages(n_rows, seed=seed, n_hosts=n_hosts):
+    for p in generate_pages(n_rows, seed=seed, n_hosts=n_hosts, scale=scale):
         yield (p["url"], p["warc_ts"], p["html"], p["text"], p["lang"])

@@ -18,7 +18,9 @@ executor cluster brings 4N cores PLUS proportional overhead capacity. Both
 pairs are reported; the substitution is stated per BASELINE.md's fallback
 clause.
 
-Usage: python tools/scaling_run.py [n_pages] [low_cores] [high_cores]
+Usage: python tools/scaling_run.py [n_pages] [low] [high] [page_scale]
+(page_scale=24 ~= 20-30 KB pages, the Common-Crawl-realistic size; the
+default scale=1 test pages are ~1.5 KB and under-weight per-doc compute)
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ from horizon_ocr_python_spark.engine.session import build_session
 from horizon_ocr_python_spark.engine.pipeline import pages_dataframe
 spark = build_session(master="local[32]", shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
-pages_dataframe(spark, {n_pages}, seed=42, slices=64) \
+pages_dataframe(spark, {n_pages}, seed=42, slices=64, scale={scale}) \
     .write.mode("overwrite").parquet({path!r})
 spark.stop()
 """
@@ -54,11 +56,14 @@ spark = build_session(master=f"local[{{cores}}]", shuffle_partitions=2*cores,
                       app_name=f"scaling-{{cores}}")
 spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet({path!r})
-pages.count()  # warm input / page cache / python workers
+# full untimed warmup pass: JIT-compiles the codegen stages, warms the
+# lz4/parquet codecs, spawns+imports the python workers, heats the page
+# cache — run 1 without this is consistently 40-80% slower than steady state
+extract_stage(salted_repartition(pages, 2 * cores)).filter("status='ok'").count()
 
 walls = []
 n_ok = 0
-for _ in range(3):  # run three times, keep the median (steady-state)
+for _ in range(3):  # then three timed runs, keep the median (steady-state)
     t0 = time.perf_counter()
     docs = extract_stage(salted_repartition(pages, 2 * cores))
     n_ok = docs.filter(docs.status == "ok").count()
@@ -90,14 +95,15 @@ def _run(code: str) -> str:
 
 
 def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 160000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-    path = f"/tmp/scaling_pages_{n_pages}"
+    scale = int(sys.argv[4]) if len(sys.argv) > 4 else 24
+    path = f"/tmp/scaling_pages_{n_pages}_s{scale}"
 
     if not os.path.exists(path):
         print(f"materializing {n_pages} pages -> {path}")
-        _run(GEN.format(repo=REPO, n_pages=n_pages, path=path))
+        _run(GEN.format(repo=REPO, n_pages=n_pages, path=path, scale=scale))
 
     results = {}
     for cores in (low, high):
@@ -116,7 +122,7 @@ def main() -> None:
     speedup = results[high]["docs_per_sec"] / results[low]["docs_per_sec"]
     efficiency = speedup / (high / low)
     summary = {
-        "n_pages": n_pages, "seed": 42,
+        "n_pages": n_pages, "seed": 42, "page_scale": scale,
         "job": "read parquet -> salted repartition(2*cores) -> fused Arrow "
                "extraction -> count(status='ok')",
         "low_cores": low, "high_cores": high,
