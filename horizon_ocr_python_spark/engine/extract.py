@@ -102,6 +102,25 @@ def extract_stage(pages: DataFrame) -> DataFrame:
     return pages.select(*cols).mapInPandas(_extract_batches, DOCUMENT_SCHEMA)
 
 
+def with_json_output(documents: DataFrame) -> DataFrame:
+    """S5 JSON sink (orchestrator.py:1374-1412): one JSON document per row,
+    rendered JVM-side with F.to_json over the nested struct — the per-doc
+    serialization the reference writes to output/*.json, as a column."""
+    from pyspark.sql import functions as F
+
+    doc_struct = F.struct(
+        F.col("doc_id").alias("id"),
+        F.struct(
+            F.col("url"), F.col("file_type"), F.col("lang"),
+            F.col("warc_ts").cast("string").alias("processed_at"),
+        ).alias("metadata"),
+        F.col("title"), F.col("raw_text"),
+        F.col("fields"), F.col("tables"), F.col("validation"),
+        F.col("status"), F.col("error"),
+    )
+    return documents.withColumn("json", F.to_json(doc_struct))
+
+
 def extracted_metrics(documents: DataFrame,
                       snapshot_id: Optional[int] = None) -> DataFrame:
     """Per-partition lineage/metrics table (SURVEY §4 custom-work 3):
