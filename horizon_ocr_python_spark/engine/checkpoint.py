@@ -89,6 +89,14 @@ def commit_snapshot(documents: DataFrame, root: str,
     """
     snap_id = next_snapshot_id(root)
     data_dir = _snap_dir(root, snap_id)
+    # A run that crashed mid-write leaves an orphan data dir with no
+    # manifest. It is invisible to readers (manifest-last visibility rule),
+    # but the retry recomputes the SAME snapshot id — clear the orphan so
+    # the rewrite succeeds (this is exactly Iceberg's orphan-file story).
+    if os.path.isdir(data_dir) and not os.path.exists(
+            os.path.join(_manifest_dir(root), f"manifest-{snap_id}.json")):
+        import shutil
+        shutil.rmtree(data_dir)
     documents.write.mode("errorifexists").parquet(data_dir)
 
     spark = documents.sparkSession

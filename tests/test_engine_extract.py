@@ -125,6 +125,22 @@ class TestCheckpointResume:
         assert len(ckpt.committed_snapshots(root)) == 1
         assert ckpt.next_snapshot_id(root) == 2
 
+    def test_retry_after_mid_write_crash(self, spark, pages, tmp_path):
+        """A crash DURING the snapshot data write leaves an orphan snap-N
+        dir; the retried commit (same N) must clear it and succeed."""
+        import os
+        root = str(tmp_path / "out4")
+        run_extraction(pages.limit(5), output_root=root, num_partitions=2)
+        # orphan for the NEXT id (2): half-written data, no manifest
+        orphan = f"{root}/snapshots/snap-2"
+        os.makedirs(orphan)
+        open(f"{orphan}/part-half-written.parquet", "wb").write(b"garbage")
+        res = run_extraction(pages.limit(12), output_root=root, num_partitions=2)
+        assert res.snapshot_id == 2
+        assert ckpt.read_table(spark, root).count() == 12
+        # the garbage file is gone
+        assert not os.path.exists(f"{orphan}/part-half-written.parquet")
+
 
 class TestPlanShape:
     def test_text_column_pruned(self, spark, tmp_path, pages):
