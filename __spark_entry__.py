@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r5_style_estimate": extras.r5_style_estimate,
         "c2_cost_rollup": extras.c2_cost_rollup,
         "o2_route_dispatch": extras.o2_route_dispatch,
+        "k4_bio_grouping": extras.k4_bio_grouping,
         # composed end-to-end flows
         "embedding_cosine_pairs": compose.embedding_cosine_pairs,
         "neardup_verdict": compose.neardup_verdict,
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "r5_style_estimate": extras.R5_STYLE_ESTIMATE_SQL,
         "c2_cost_rollup": extras.C2_COST_ROLLUP_SQL,
         "o2_route_dispatch": extras.O2_ROUTE_DISPATCH_SQL,
+        "k4_bio_grouping": extras.K4_BIO_GROUPING_SQL,
         "embedding_cosine_pairs": compose.EMBEDDING_COSINE_PAIRS_SQL,
         "neardup_verdict": compose.NEARDUP_VERDICT_SQL,
         "supplier_region_rollup": compose.SUPPLIER_REGION_ROLLUP_SQL,

@@ -202,3 +202,85 @@ FROM routed
 GROUP BY route
 ORDER BY route
 """
+
+# --- K4: BIO run grouping as window algebra -----------------------------------------
+
+
+def k4_bio_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIO entity grouping (kie/layoutlmv3_runner.py:300-367) dataset-level:
+    synthesize a deterministic BIO tag stream over events (ordered by
+    event_id), group B-/I- runs via a cumulative-starts window, and emit one
+    field per entity with joined words + mean confidence — the lag/cumsum
+    run-grouping SURVEY §2.5 K4 names.
+
+    Tag pattern (event_id % 7): 0 B-AMOUNT, 1-2 I-AMOUNT, 3 B-DATE,
+    4 I-DATE, 5-6 O — orphan-free by construction so the relational form
+    matches the kernel state machine exactly.
+    """
+    ev = table(spark, sf_dir, "events")
+    tag = (F.when(F.col("event_id") % 7 == 0, "B-AMOUNT")
+           .when(F.col("event_id") % 7 <= 2, "I-AMOUNT")
+           .when(F.col("event_id") % 7 == 3, "B-DATE")
+           .when(F.col("event_id") % 7 == 4, "I-DATE")
+           .otherwise("O"))
+    tokens = ev.select("event_id", F.col("event_type").alias("word"),
+                       F.round(F.col("value") / 500.0, 6).alias("conf"),
+                       tag.alias("tag"))
+    w = Window.orderBy("event_id")
+    runs = (tokens
+            .withColumn("is_start",
+                        F.when(F.col("tag").startswith("B-"), 1).otherwise(0))
+            .withColumn("run_id", F.sum("is_start").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .filter(F.col("tag") != "O"))
+    entity = F.substring(F.col("tag"), 3, 100)
+    grouped = (runs.withColumn("entity", entity)
+               .groupBy("run_id")
+               .agg(F.min("entity").alias("entity"),
+                    F.concat_ws(" ", F.collect_list("word")).alias("value"),
+                    F.round(F.avg("conf"), 6).alias("confidence"),
+                    F.count("*").alias("n_tokens")))
+    data_type = (F.when(F.col("entity").isin("AMOUNT", "TOTAL", "TAX"), "currency")
+                 .when(F.col("entity") == "DATE", "date").otherwise("string"))
+    status = (F.when(F.col("confidence") >= 0.8, "confident")
+              .when(F.col("confidence") >= 0.5, "single_source")
+              .otherwise("uncertain"))
+    return (grouped.select(F.col("run_id").cast("long").alias("run_id"),
+                           F.lower(F.col("entity")).alias("name"),
+                           "value", "confidence", "n_tokens",
+                           data_type.alias("data_type"), status.alias("status"))
+            .orderBy("run_id"))
+
+
+K4_BIO_GROUPING_SQL = """
+WITH tokens AS (
+  SELECT event_id, event_type AS word, round(value / 500.0, 6) AS conf,
+    CASE WHEN event_id % 7 = 0 THEN 'B-AMOUNT'
+         WHEN event_id % 7 <= 2 THEN 'I-AMOUNT'
+         WHEN event_id % 7 = 3 THEN 'B-DATE'
+         WHEN event_id % 7 = 4 THEN 'I-DATE'
+         ELSE 'O' END AS tag
+  FROM events
+), runs AS (
+  SELECT event_id, word, conf, tag,
+         sum(CASE WHEN tag LIKE 'B-%' THEN 1 ELSE 0 END)
+           OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM tokens
+), grouped AS (
+  SELECT run_id, min(substr(tag, 3)) AS entity,
+         string_agg(word, ' ' ORDER BY event_id) AS value,
+         round(avg(conf), 6) AS confidence,
+         count(*) AS n_tokens
+  FROM runs WHERE tag <> 'O'
+  GROUP BY run_id
+)
+SELECT CAST(run_id AS BIGINT) AS run_id, lower(entity) AS name, value,
+       confidence, n_tokens,
+       CASE WHEN entity IN ('AMOUNT','TOTAL','TAX') THEN 'currency'
+            WHEN entity = 'DATE' THEN 'date' ELSE 'string' END AS data_type,
+       CASE WHEN confidence >= 0.8 THEN 'confident'
+            WHEN confidence >= 0.5 THEN 'single_source'
+            ELSE 'uncertain' END AS status
+FROM grouped
+ORDER BY run_id
+"""
