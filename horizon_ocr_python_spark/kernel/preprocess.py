@@ -1,0 +1,260 @@
+"""Image preprocessing kernels P2-P9 in pure numpy (no cv2 in this
+container; the reference's preprocess/enhance.py + preprocess/geometry.py
+semantics re-expressed with numpy primitives).
+
+The reference's own tests pin PROPERTIES, not pixels (tests/
+test_preprocess.py: shape/dtype preserved, angle in range, noise reduced,
+quality buckets) — that is the parity contract here too; cv2's exact pixel
+output is unreachable without cv2 and is version-dependent anyway
+(SURVEY §7.5 hard-part 1 names cv2 version drift as a byte-identity risk).
+
+Per SURVEY §2.2, all of these run fused inside the one Arrow extraction
+stage when an image path is enabled; they are plain ndarray -> ndarray
+functions with no Spark imports.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """BGR -> gray (ITU-R 601 weights, same as cv2.COLOR_BGR2GRAY)."""
+    if img.ndim == 2:
+        return img.astype(np.float64)
+    b, g, r = img[..., 0], img[..., 1], img[..., 2]
+    return 0.114 * b + 0.587 * g + 0.299 * r
+
+
+def _box_mean(a: np.ndarray, k: int) -> np.ndarray:
+    """k x k box-filter mean via 2-D cumsum (O(n), no convolution loop)."""
+    pad = k // 2
+    padded = np.pad(a.astype(np.float64), pad, mode="edge")
+    c = padded.cumsum(0).cumsum(1)
+    c = np.pad(c, ((1, 0), (1, 0)))
+    h, w = a.shape
+    s = (c[k:k + h, k:k + w] - c[:h, k:k + w]
+         - c[k:k + h, :w] + c[:h, :w])
+    return s / (k * k)
+
+
+# --- P2: deskew ------------------------------------------------------------------
+
+
+def get_rotation_angle(img: np.ndarray, max_angle: float = 15.0,
+                       step: float = 0.5) -> float:
+    """Text-skew estimate via projection-profile search (the Hough-median
+    approach of geometry.py:168-227 replaced by the classic
+    maximize-row-profile-variance criterion — same contract: degrees in
+    [-max_angle, max_angle], 0.0 when nothing detected)."""
+    gray = to_gray(img)
+    # downsample for speed; binarize by global mean
+    while max(gray.shape) > 512:
+        gray = gray[::2, ::2]
+    ink = (gray < gray.mean()).astype(np.float64)
+    if ink.sum() < 10:
+        return 0.0
+    h, w = ink.shape
+    ys, xs = np.nonzero(ink)
+    cx, cy = w / 2.0, h / 2.0
+    best_angle, best_score = 0.0, -1.0
+    for angle in np.arange(-max_angle, max_angle + step / 2, step):
+        rad = np.deg2rad(angle)
+        # row index of each ink pixel after rotating by -angle
+        yr = (-(xs - cx) * np.sin(rad) + (ys - cy) * np.cos(rad)) + cy
+        rows = np.clip(yr.astype(int), 0, h - 1)
+        profile = np.bincount(rows, minlength=h)
+        score = float(profile.var())
+        if score > best_score:
+            best_score, best_angle = score, float(angle)
+    return best_angle
+
+
+def rotate_image(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Nearest-neighbor rotation about the center, same output size (the
+    shape-preserving contract of the horizontal-deskew test)."""
+    if abs(angle_deg) < 1e-9:
+        return img.copy()
+    h, w = img.shape[:2]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    rad = np.deg2rad(angle_deg)
+    yy, xx = np.mgrid[0:h, 0:w]
+    xs = (xx - cx) * np.cos(rad) + (yy - cy) * np.sin(rad) + cx
+    ys = -(xx - cx) * np.sin(rad) + (yy - cy) * np.cos(rad) + cy
+    xs = np.clip(np.rint(xs).astype(int), 0, w - 1)
+    ys = np.clip(np.rint(ys).astype(int), 0, h - 1)
+    return img[ys, xs]
+
+
+def deskew_image(img: np.ndarray, max_angle: float = 15.0) -> np.ndarray:
+    """P2: estimate the skew and rotate it out (geometry.py:230-282
+    contract; same-size output)."""
+    return rotate_image(img, -get_rotation_angle(img, max_angle))
+
+
+# --- P3: denoise -----------------------------------------------------------------
+
+
+def denoise_image(img: np.ndarray, k: int = 3) -> np.ndarray:
+    """P3: median-filter denoise (stands in for cv2 fastNlMeansDenoising,
+    enhance.py:25-69 — the test contract is shape preserved + noise
+    variance reduced)."""
+    gray_in = img.ndim == 2
+    channels = [img] if gray_in else [img[..., c] for c in range(img.shape[2])]
+    out = []
+    pad = k // 2
+    for ch in channels:
+        padded = np.pad(ch, pad, mode="edge")
+        stack = np.stack([padded[dy:dy + ch.shape[0], dx:dx + ch.shape[1]]
+                          for dy in range(k) for dx in range(k)])
+        out.append(np.median(stack, axis=0).astype(img.dtype))
+    return out[0] if gray_in else np.stack(out, axis=-1)
+
+
+# --- P4: CLAHE --------------------------------------------------------------------
+
+
+def apply_clahe(img: np.ndarray, clip_limit: float = 2.0,
+                tiles: int = 8) -> np.ndarray:
+    """P4: contrast-limited adaptive histogram equalization
+    (enhance.py:72-112: clip 2.0, 8x8 tiles). Per-tile clipped-histogram
+    equalization with output stitched per tile (bilinear tile blending
+    omitted — the contract is shape/dtype + contrast expansion)."""
+    gray_in = img.ndim == 2
+    gray = to_gray(img).astype(np.uint8) if not gray_in else img.astype(np.uint8)
+    h, w = gray.shape
+    out = np.empty_like(gray)
+    th, tw = max(1, h // tiles), max(1, w // tiles)
+    clip = clip_limit * th * tw / 256.0
+    for ty in range(0, h, th):
+        for tx in range(0, w, tw):
+            tile = gray[ty:ty + th, tx:tx + tw]
+            hist = np.bincount(tile.ravel(), minlength=256).astype(np.float64)
+            excess = np.clip(hist - clip, 0, None)
+            hist = np.minimum(hist, clip) + excess.sum() / 256.0
+            cdf = hist.cumsum()
+            cdf = (cdf - cdf.min()) / max(cdf.max() - cdf.min(), 1e-9) * 255.0
+            out[ty:ty + th, tx:tx + tw] = cdf[tile].astype(np.uint8)
+    if gray_in:
+        return out
+    # apply the L-channel-style gain back to the color image
+    gain = (out.astype(np.float64) + 1) / (gray.astype(np.float64) + 1)
+    return np.clip(img.astype(np.float64) * gain[..., None], 0, 255) \
+        .astype(img.dtype)
+
+
+# --- P5: sharpen ------------------------------------------------------------------
+
+
+def sharpen_image(img: np.ndarray, strength: float = 1.5) -> np.ndarray:
+    """P5: unsharp mask addWeighted(img, s, blur, -(s-1))
+    (enhance.py:115-144, s=1.5) with a box blur standing in for Gaussian."""
+    gray_in = img.ndim == 2
+    channels = [img] if gray_in else [img[..., c] for c in range(img.shape[2])]
+    out = []
+    for ch in channels:
+        blur = _box_mean(ch, 5)
+        sharp = ch.astype(np.float64) * strength - blur * (strength - 1)
+        out.append(np.clip(sharp, 0, 255).astype(img.dtype))
+    return out[0] if gray_in else np.stack(out, axis=-1)
+
+
+# --- P6: adaptive binarize -----------------------------------------------------------
+
+
+def adaptive_binarize(img: np.ndarray, block: int = 11, c: float = 2.0) -> np.ndarray:
+    """P6: adaptive mean threshold (enhance.py:147-190: block 11, C 2;
+    box mean stands in for the Gaussian window). THRESH_BINARY polarity:
+    pixel > local_mean - C -> 255 else 0."""
+    gray = to_gray(img)
+    local = _box_mean(gray, block)
+    return np.where(gray > local - c, 255, 0).astype(np.uint8)
+
+
+# --- P8: content-type classify ---------------------------------------------------------
+
+
+def detect_content_type(img: np.ndarray) -> tuple[str, float]:
+    """P8: printed / handwritten / mixed by stroke regularity
+    (enhance.py:219-308: stroke-width variation CV thresholds >0.7
+    handwritten, <0.4 printed, else mixed). Numpy proxy for the per-contour
+    stroke statistic: coefficient of variation of ink run lengths per row."""
+    gray = to_gray(img)
+    ink = gray < gray.mean()
+    runs = []
+    for row in ink[:: max(1, ink.shape[0] // 64)]:
+        # run lengths of consecutive ink pixels
+        changes = np.diff(np.concatenate([[0], row.view(np.int8), [0]]))
+        starts, ends = np.nonzero(changes == 1)[0], np.nonzero(changes == -1)[0]
+        runs.extend((ends - starts).tolist())
+    if len(runs) < 5:
+        return ("printed", 0.5)
+    arr = np.array(runs, dtype=np.float64)
+    cv_ = float(arr.std() / max(arr.mean(), 1e-9))
+    if cv_ > 0.7:
+        return ("handwritten", min(1.0, cv_ / 1.4))
+    if cv_ < 0.4:
+        return ("printed", min(1.0, 1.0 - cv_))
+    return ("mixed", 0.6)
+
+
+# --- P9: readability -----------------------------------------------------------------
+
+
+def laplacian_variance(gray: np.ndarray) -> float:
+    """P10 helper: 4-neighbor Laplacian variance (enhance.py:193-216)."""
+    g = gray.astype(np.float64)
+    lap = (-4 * g[1:-1, 1:-1] + g[:-2, 1:-1] + g[2:, 1:-1]
+           + g[1:-1, :-2] + g[1:-1, 2:])
+    return float(lap.var()) if lap.size else 0.0
+
+
+def assess_readability(img: np.ndarray) -> tuple[str, list[str]]:
+    """P9: readability buckets (enhance.py:311-365): contrast < 30,
+    laplacian var < 100, brightness < 50 / > 230, noise > 1000,
+    size < 500 -> issues; 0 issues good, <= 2 fair, else poor."""
+    gray = to_gray(img)
+    issues = []
+    if float(gray.std()) < 30:
+        issues.append("low_contrast")
+    if laplacian_variance(gray) < 100:
+        issues.append("blurry")
+    brightness = float(gray.mean())
+    if brightness < 50:
+        issues.append("too_dark")
+    elif brightness > 230:
+        issues.append("too_bright")
+    if laplacian_variance(gray) > 1000:
+        issues.append("high_noise")
+    h, w = gray.shape[:2]
+    if h < 500 or w < 500:
+        issues.append("low_resolution")
+    if not issues:
+        return ("good", issues)
+    if len(issues) <= 2:
+        return ("fair", issues)
+    return ("poor", issues)
+
+
+# --- P7: pipeline order -----------------------------------------------------------------
+
+
+def preprocess_for_ocr(img: np.ndarray, *, deskew: bool = True,
+                       denoise: bool = True, clahe: bool = True,
+                       sharpen: bool = True,
+                       binarize: bool = False) -> np.ndarray:
+    """P7: the fused pipeline in the reference's order
+    (enhance.py:368-428: dewarp -> deskew -> denoise -> CLAHE -> sharpen,
+    each flag-gated; dewarp P1 requires contour geometry, gated off here)."""
+    out = img
+    if deskew:
+        out = deskew_image(out)
+    if denoise:
+        out = denoise_image(out)
+    if clahe:
+        out = apply_clahe(out)
+    if sharpen:
+        out = sharpen_image(out)
+    if binarize:
+        out = adaptive_binarize(out)
+    return out
