@@ -111,13 +111,27 @@ def _extract(url: str, payload: bytes, warc_ts: Any, lang: str,
         regions = [{"type": "text", "text": ln["text"], "x": ln["x"], "y": ln["y"]}
                    for ln in ex["lines"]]
     elif file_type == "image":
-        # image decode is stubbed in this container (kernel.multimodal);
-        # emit an empty page rather than failing the row
+        # PNG decodes for real (kernel.png); without OCR model weights the
+        # text stays empty — exactly the reference's no-weights fallback
+        # (trocr.py model_loaded gate). Readability metadata is computed
+        # from the decoded pixels (P9).
         ex = {"title": "", "raw_text": "", "tables": []}
         content_lines = []
         kv_lines = []
         tables_rows = []
         regions = []
+        try:
+            from . import multimodal, preprocess
+
+            img = multimodal.decode_image(payload)
+            readability, issues = preprocess.assess_readability(img)
+            regions = [{"type": "image", "text": "",
+                        "x": 0.0, "y": 0.0,
+                        "width": float(img.shape[1]),
+                        "height": float(img.shape[0]),
+                        "readability": readability}]
+        except NotImplementedError:
+            pass  # non-PNG formats: metadata-only (header parse upstream)
     else:
         hx = html_extract.extract_html(payload)
         ex = {"title": hx["title"], "raw_text": hx["raw_text"], "tables": hx["tables"]}

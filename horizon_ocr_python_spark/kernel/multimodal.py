@@ -52,15 +52,25 @@ def parse_image_meta(data: bytes) -> dict:
 def decode_image(data: bytes, fake: bool = False) -> np.ndarray:
     """Decode image bytes to an HxWx3 BGR uint8 array (io/image.py:49-79).
 
-    STUB: real decoding needs cv2/PIL which this container lacks. With
-    fake=True returns a deterministic pseudo-image seeded by the content
-    sha256, with the true header dimensions — enough to exercise the
-    downstream numpy pipeline deterministically.
+    PNG (8-bit gray/RGB) decodes for REAL via the stdlib codec
+    (kernel.png — zlib inflate + scanline un-filtering). JPEG decode
+    remains stubbed (DCT decoding needs a real codec library): raises
+    NotImplementedError unless fake=True, which returns a deterministic
+    pseudo-image with the true header dimensions.
     """
     if not fake:
+        meta = parse_image_meta(data)
+        if meta["format"] == "png":
+            from .png import decode_png
+
+            rgb = decode_png(data)
+            if rgb.ndim == 2:
+                rgb = np.stack([rgb] * 3, axis=-1)
+            return np.ascontiguousarray(rgb[..., ::-1])  # RGB -> BGR
         raise NotImplementedError(
-            "Image decoding requires cv2/PIL (not in this container). "
-            "Pass fake=True for the deterministic test double."
+            f"{meta['format']} decoding requires a codec library (not in "
+            "this container). Pass fake=True for the deterministic test "
+            "double."
         )
     meta = parse_image_meta(data)
     h = max(1, min(meta["height"] or 64, 256))

@@ -81,7 +81,8 @@ def make_page(i: int, seed: int = 42, n_hosts: int = 50, scale: int = 1) -> dict
     url = f"https://host{host:03d}.example/article/{i}"
     warc_ts = _BASE_TS + timedelta(seconds=(i * 977) % (30 * 86400))
     lang = _pick_lang(rng)
-    kind = "pdf" if rng.random() < 0.10 else "html"
+    r_kind = rng.random()
+    kind = "pdf" if r_kind < 0.10 else ("image" if r_kind < 0.15 else "html")
 
     title = f"Document {i}: " + " ".join(rng.choice(WORDS) for _ in range(3))
     n_paras = rng.randint(2, 6) * scale
@@ -101,7 +102,19 @@ def make_page(i: int, seed: int = 42, n_hosts: int = 50, scale: int = 1) -> dict
         "total": total_str,
     }
 
-    if kind == "pdf":
+    if kind == "image":
+        # a real PNG of the reference conftest's synthetic document shape
+        # (bars + rulings, conftest.py:23-43): decodes for real, but with no
+        # OCR weights the extracted text is empty — the reference's own
+        # no-weights behavior, so ground truth is the empty string
+        from . import _png_doc_image
+
+        img = _png_doc_image.render(seed=(seed << 20) ^ i)
+        payload = _png_doc_image.encode(img)
+        expected_text = ""
+        title = ""
+        expected_fields = {}
+    elif kind == "pdf":
         pdf_lines = [(72.0, 72.0, title, 24.0)]
         y = 120.0
         for para in paras:

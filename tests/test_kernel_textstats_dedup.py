@@ -116,10 +116,14 @@ class TestMultimodal:
         meta = M.parse_image_meta(png)
         assert meta == {"format": "png", "width": 64, "height": 48, "n_bytes": len(png)}
 
-    def test_decode_stub_raises_without_fake(self):
+    def test_decode_behavior_without_fake(self):
         import pytest
-        with pytest.raises(NotImplementedError):
+        # malformed PNG: real decoder raises a ValueError (not a crash class)
+        with pytest.raises(Exception):
             M.decode_image(b"\x89PNG\r\n\x1a\n" + b"0" * 24)
+        # JPEG remains a declared stub
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
     def test_fake_decode_deterministic(self):
         data = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"\x00\x00\x00\x40\x00\x00\x00\x30"
