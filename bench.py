@@ -32,7 +32,7 @@ def main() -> None:
     from horizon_ocr_python_spark.engine.pipeline import pages_dataframe
     from horizon_ocr_python_spark.engine.session import build_session
     from horizon_ocr_python_spark.operators import (
-        dedup, relational, sessionize, similarity, textops)
+        compose, dedup, relational, sessionize, similarity, textops)
 
     spark = build_session(master=f"local[{CPUS}]",
                           shuffle_partitions=2 * CPUS,
@@ -73,6 +73,9 @@ def main() -> None:
         ("d13_gap_sessionize", sessionize.gap_sessionize),
         ("o7_worst_k", sessionize.worst_k),
         ("token_count", textops.token_count),
+        ("neardup_verdict", compose.neardup_verdict),
+        ("k4_bio_grouping", __import__("horizon_ocr_python_spark.operators.extras",
+                                       fromlist=["extras"]).k4_bio_grouping),
     ]:
         run(name, lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save())
 
