@@ -239,14 +239,17 @@ def assess_readability(img: np.ndarray) -> tuple[str, list[str]]:
 # --- P7: pipeline order -----------------------------------------------------------------
 
 
-def preprocess_for_ocr(img: np.ndarray, *, deskew: bool = True,
+def preprocess_for_ocr(img: np.ndarray, *, dewarp: bool = False,
+                       deskew: bool = True,
                        denoise: bool = True, clahe: bool = True,
                        sharpen: bool = True,
                        binarize: bool = False) -> np.ndarray:
     """P7: the fused pipeline in the reference's order
     (enhance.py:368-428: dewarp -> deskew -> denoise -> CLAHE -> sharpen,
-    each flag-gated; dewarp P1 requires contour geometry, gated off here)."""
+    each flag-gated; dewarp defaults off, as in the reference config)."""
     out = img
+    if dewarp:
+        out = perspective_correction(out)
     if deskew:
         out = deskew_image(out)
     if denoise:
@@ -258,3 +261,92 @@ def preprocess_for_ocr(img: np.ndarray, *, deskew: bool = True,
     if binarize:
         out = adaptive_binarize(out)
     return out
+
+
+# --- P1: dewarp (perspective correction) -----------------------------------------
+
+
+def order_points(pts: np.ndarray) -> np.ndarray:
+    """Clockwise TL, TR, BR, BL via the sum/diff trick
+    (geometry.py:81-103 exactly)."""
+    rect = np.zeros((4, 2), dtype=np.float64)
+    s = pts.sum(axis=1)
+    rect[0] = pts[np.argmin(s)]
+    rect[2] = pts[np.argmax(s)]
+    diff = np.diff(pts, axis=1).ravel()
+    rect[1] = pts[np.argmin(diff)]
+    rect[3] = pts[np.argmax(diff)]
+    return rect
+
+
+def detect_page_quad(img: np.ndarray,
+                     min_area_ratio: float = 0.30) -> np.ndarray | None:
+    """Find the document quadrilateral: the bright "page" region's extreme
+    corners (geometry.py:22-78's contour+approxPolyDP replaced by the
+    extreme-point estimate over the above-mean mask; same >= 30%-of-image
+    area gate)."""
+    gray = to_gray(img)
+    mask = gray > gray.mean()
+    if mask.sum() < min_area_ratio * mask.size:
+        return None
+    ys, xs = np.nonzero(mask)
+    pts = np.stack([xs, ys], axis=1).astype(np.float64)
+    s = xs + ys
+    d = xs.astype(np.int64) - ys
+    quad = np.array([pts[np.argmin(s)], pts[np.argmax(d)],
+                     pts[np.argmax(s)], pts[np.argmin(d)]])
+    # degenerate (page fills the frame edge-to-edge): nothing to correct
+    area = 0.5 * abs(
+        sum(quad[i][0] * quad[(i + 1) % 4][1] - quad[(i + 1) % 4][0] * quad[i][1]
+            for i in range(4)))
+    if area < min_area_ratio * mask.size:
+        return None
+    return quad
+
+
+def _homography(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """4-point DLT: H with H @ [x_src, y_src, 1] ~ [x_dst, y_dst, 1]."""
+    a, b = [], []
+    for (x, y), (u, v) in zip(src, dst):
+        a.append([x, y, 1, 0, 0, 0, -u * x, -u * y])
+        a.append([0, 0, 0, x, y, 1, -v * x, -v * y])
+        b.extend([u, v])
+    h = np.linalg.solve(np.array(a, dtype=np.float64),
+                        np.array(b, dtype=np.float64))
+    return np.append(h, 1.0).reshape(3, 3)
+
+
+def perspective_correction(img: np.ndarray,
+                           quad: np.ndarray | None = None,
+                           padding: int = 0) -> np.ndarray:
+    """P1: warp the document quad to a rectangle (geometry.py:107-165:
+    output size = max opposite-side lengths; white border; returns the
+    original image unchanged when no quad is found)."""
+    if quad is None:
+        quad = detect_page_quad(img)
+        if quad is None:
+            return img
+    pts = order_points(np.asarray(quad, dtype=np.float64))
+    tl, tr, br, bl = pts
+    max_w = int(max(np.linalg.norm(tr - tl), np.linalg.norm(br - bl)))
+    max_h = int(max(np.linalg.norm(bl - tl), np.linalg.norm(br - tr)))
+    max_w, max_h = max(max_w, 1), max(max_h, 1)
+    dst = np.array([[padding, padding],
+                    [max_w - 1 + padding, padding],
+                    [max_w - 1 + padding, max_h - 1 + padding],
+                    [padding, max_h - 1 + padding]], dtype=np.float64)
+    # inverse map: for each output pixel, where in the source?
+    h_inv = _homography(dst, pts)
+    out_h, out_w = max_h + 2 * padding, max_w + 2 * padding
+    yy, xx = np.mgrid[0:out_h, 0:out_w].astype(np.float64)
+    denom = h_inv[2, 0] * xx + h_inv[2, 1] * yy + h_inv[2, 2]
+    sx = (h_inv[0, 0] * xx + h_inv[0, 1] * yy + h_inv[0, 2]) / denom
+    sy = (h_inv[1, 0] * xx + h_inv[1, 1] * yy + h_inv[1, 2]) / denom
+    h, w = img.shape[:2]
+    inside = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+    sxc = np.clip(np.rint(sx).astype(int), 0, w - 1)
+    syc = np.clip(np.rint(sy).astype(int), 0, h - 1)
+    sampled = img[syc, sxc]
+    white = np.full_like(sampled, 255)
+    return np.where(inside[..., None] if img.ndim == 3 else inside,
+                    sampled, white)

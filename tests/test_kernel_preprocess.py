@@ -111,3 +111,51 @@ class TestEnhance:
         assert out.shape[:2] == sample_image.shape[:2]
         binar = P.preprocess_for_ocr(sample_image, binarize=True)
         assert set(np.unique(binar)) <= {0, 255}
+
+
+def _fill_quad(shape, quad, value=230):
+    import numpy as _np
+    img = _np.zeros(shape, dtype=_np.uint8)
+    yy, xx = _np.mgrid[0:shape[0], 0:shape[1]]
+    pts = P.order_points(_np.array(quad, float))
+    inside = _np.ones(yy.shape, bool)
+    for i in range(4):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % 4]
+        inside &= (x2 - x1) * (yy - y1) - (y2 - y1) * (xx - x1) >= 0
+    img[inside] = value
+    return img
+
+
+class TestDewarp:
+    QUAD = [[60, 20], [260, 50], [240, 180], [40, 150]]
+
+    def test_order_points(self):
+        # sum/diff trick (geometry.py:81-103)
+        pts = np.array([[260, 50], [40, 150], [60, 20], [240, 180]], float)
+        ordered = P.order_points(pts)
+        assert ordered.tolist() == [[60, 20], [260, 50], [240, 180], [40, 150]]
+
+    def test_detect_page_quad_exact(self):
+        img = _fill_quad((200, 300, 3), self.QUAD)
+        det = P.detect_page_quad(img)
+        assert det is not None
+        assert sorted(det.tolist()) == sorted([[float(x), float(y)]
+                                               for x, y in self.QUAD])
+
+    def test_perspective_correction_rectifies(self):
+        img = _fill_quad((200, 300, 3), self.QUAD)
+        out = P.perspective_correction(img)
+        # output sized by max opposite-side lengths (geometry.py:135-143)
+        assert out.shape[0] < 200 and out.shape[1] < 300
+        interior = P.to_gray(out[3:-3, 3:-3])
+        assert (interior > 200).mean() > 0.99  # page fills the rectangle
+
+    def test_no_quad_returns_original(self):
+        flat = np.zeros((50, 50, 3), np.uint8)
+        assert P.perspective_correction(flat) is flat
+
+    def test_small_page_rejected(self):
+        # page under 30% of the frame: no correction (geometry.py min area)
+        img = _fill_quad((300, 300, 3), [[10, 10], [60, 12], [58, 70], [8, 66]])
+        assert P.detect_page_quad(img) is None
