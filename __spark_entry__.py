@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_arrow": arrow_ops.token_count_arrow,
         "multimodal_meta": arrow_ops.multimodal_meta,
         "k9_anchor_join": arrow_ops.k9_anchor_join,
+        "o7_reocr_pass": arrow_ops.o7_reocr_pass,
         # rows-only (markdown structure is not SQL-expressible; kernel
         # renderer is pinned by unit tests instead)
         "s6_markdown_render": arrow_ops.s6_markdown_render,
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_arrow": arrow_ops.TOKEN_COUNT_ARROW_SQL,
         "multimodal_meta": arrow_ops.MULTIMODAL_META_SQL,
         "k9_anchor_join": arrow_ops.K9_ANCHOR_JOIN_SQL,
+        "o7_reocr_pass": arrow_ops.O7_REOCR_PASS_SQL,
         # s6_markdown_render intentionally has no oracle (rows-only check)
         "o6_conf_reroute": extras.O6_CONF_REROUTE_SQL,
         "d8_interval_merge": extras.D8_INTERVAL_MERGE_SQL,

@@ -235,3 +235,80 @@ FROM words JOIN value_list ON w = value
 GROUP BY value
 ORDER BY value
 """
+
+
+# --- O7 full pass as a grouped-map (applyInPandas) operator -----------------------
+
+
+def o7_reocr_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete targeted re-OCR pass as a dataset operator: per user_id
+    ("page"), run kernel.reocr.process_lines over the group's events —
+    selection (conf < 0.70, worst 5), deterministic recompute
+    (conf + 0.20, text unchanged -> improvement 0.20 >= 0.05 accepted),
+    in-place apply. Grouped-map applyInPandas: each page's lines must be
+    processed together because the worst-K cap is per page.
+
+    Oracle: the same selection + acceptance algebra in SQL (row_number
+    over conf within user, cap 5, CASE acceptance).
+    """
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from ..kernel.reocr import process_lines
+
+    ev = table(spark, sf_dir, "events")
+    lines = ev.select("user_id", "event_id",
+                      F.col("event_type").alias("text"),
+                      F.round(F.col("value") / 500.0, 6).alias("confidence"))
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("text", StringType()),
+        StructField("confidence", DoubleType()),
+        StructField("source", StringType()),
+    ])
+
+    def reocr_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = [{"event_id": int(e), "text": t,
+                 "confidence": float(c), "source": "ocr"}
+                for e, t, c in zip(pdf["event_id"], pdf["text"],
+                                   pdf["confidence"])]
+        # deterministic selection order: the kernel cap sorts by confidence
+        # (stable), so pre-sort rows by (confidence, event_id) as the
+        # reference's list order would be after its page-order scan
+        rows.sort(key=lambda r: (r["confidence"], r["event_id"]))
+        process_lines(rows,
+                      recompute=lambda ln: (ln["text"],
+                                            round(ln["confidence"] + 0.20, 6)),
+                      max_lines=5)
+        uid = int(pdf["user_id"].iloc[0])
+        return pd.DataFrame([{
+            "user_id": uid, "event_id": r["event_id"], "text": r["text"],
+            "confidence": round(r["confidence"], 6), "source": r["source"],
+        } for r in rows])
+
+    return (lines.groupBy("user_id").applyInPandas(reocr_group, out_schema)
+            .orderBy("user_id", "event_id"))
+
+
+O7_REOCR_PASS_SQL = """
+WITH lines AS (
+  SELECT user_id, event_id, event_type AS text,
+         round(value / 500.0, 6) AS confidence
+  FROM events
+), ranked AS (
+  SELECT user_id, event_id, text, confidence,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY confidence, event_id) AS rn
+  FROM lines
+)
+SELECT user_id, event_id, text,
+       CASE WHEN confidence < 0.70 AND rn <= 5
+            THEN round(round(confidence + 0.20, 6), 6)
+            ELSE confidence END AS confidence,
+       CASE WHEN confidence < 0.70 AND rn <= 5
+            THEN 'reocr' ELSE 'ocr' END AS source
+FROM ranked
+ORDER BY user_id, event_id
+"""
