@@ -68,38 +68,53 @@ def _doc_to_row(url, warc_ts, lang, doc: dict, content_key: str,
     }
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body. Iterator-of-batches keeps memory bounded (the
-    reference's lazy page iterator, io/pdf.py:86-115, gives the same
-    property per document)."""
-    from pyspark import TaskContext
+def _make_extract_fn(config: Optional[dict] = None):
+    """Build the mapInPandas body with the (broadcastable) config dict
+    baked into the closure — the C7 contract: executors see a plain dict,
+    never driver-side dataclasses."""
+    fusion_strategy = ((config or {}).get("fusion") or {}).get(
+        "strategy", "weighted_vote")
 
-    ctx = TaskContext.get()
-    pid = ctx.partitionId() if ctx is not None else -1
+    def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """mapInPandas body. Iterator-of-batches keeps memory bounded (the
+        reference's lazy page iterator, io/pdf.py:86-115, gives the same
+        property per document)."""
+        from pyspark import TaskContext
 
-    for pdf in batches:
-        rows = []
-        for url, warc_ts, html, lang in zip(
-                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]):
-            t0 = time.perf_counter()
-            payload = bytes(html) if html is not None else b""
-            content_key = hashlib.sha256(payload).hexdigest()
-            doc = extract_document(url, payload, warc_ts, lang)
-            ms = (time.perf_counter() - t0) * 1000.0
-            rows.append(_doc_to_row(url, warc_ts, lang, doc, content_key, pid, ms))
-        if rows:
-            yield pd.DataFrame(rows)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+
+        for pdf in batches:
+            rows = []
+            for url, warc_ts, html, lang in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]):
+                t0 = time.perf_counter()
+                payload = bytes(html) if html is not None else b""
+                content_key = hashlib.sha256(payload).hexdigest()
+                doc = extract_document(url, payload, warc_ts, lang,
+                                       fusion_strategy=fusion_strategy)
+                ms = (time.perf_counter() - t0) * 1000.0
+                rows.append(_doc_to_row(url, warc_ts, lang, doc, content_key,
+                                        pid, ms))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _extract_batches
 
 
-def extract_stage(pages: DataFrame) -> DataFrame:
+def extract_stage(pages: DataFrame, config: Optional[dict] = None) -> DataFrame:
     """Run the fused extraction stage over a pages DataFrame.
+
+    `config` is an EngineConfig.to_dict() (kernel.config) — currently the
+    fusion strategy reaches the kernel; omitted -> reference defaults.
 
     Column pruning: only (url, warc_ts, html, lang) are shipped to Python —
     the ground-truth `text` column (test-only) is never read here, so the
     parquet scan prunes it (check ReadSchema in .explain).
     """
     cols = ["url", "warc_ts", "html", "lang"]
-    return pages.select(*cols).mapInPandas(_extract_batches, DOCUMENT_SCHEMA)
+    return pages.select(*cols).mapInPandas(_make_extract_fn(config),
+                                           DOCUMENT_SCHEMA)
 
 
 def with_json_output(documents: DataFrame) -> DataFrame:

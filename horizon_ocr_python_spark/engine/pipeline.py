@@ -28,7 +28,8 @@ class RunResult:
 def run_extraction(pages: DataFrame, *, num_partitions: Optional[int] = None,
                    rows_hint: Optional[int] = None,
                    output_root: Optional[str] = None,
-                   resume: bool = True) -> RunResult:
+                   resume: bool = True,
+                   config: Optional[dict] = None) -> RunResult:
     """Run the pipeline. With `output_root`, commits a snapshot and appends
     per-partition metrics alongside (resumable); without, returns the lazy
     documents DataFrame (caller materializes)."""
@@ -38,11 +39,13 @@ def run_extraction(pages: DataFrame, *, num_partitions: Optional[int] = None,
     if output_root and resume:
         committed = ckpt.committed_keys(spark, output_root)
     todo = ckpt.filter_uncommitted(pages, committed)
-    todo = with_length_cap(todo)
+    max_bytes = (((config or {}).get("extraction") or {})
+                 .get("max_payload_bytes", 8 * 1024 * 1024))
+    todo = with_length_cap(todo, max_bytes=max_bytes)
 
     n = num_partitions or partitions_for(spark, rows_hint)
     distributed = salted_repartition(todo, n)
-    documents = extract_stage(distributed)
+    documents = extract_stage(distributed, config=config)
 
     if not output_root:
         return RunResult(documents=documents,

@@ -71,3 +71,23 @@ class TestEnvOverride:
     def test_unrelated_env_ignored(self):
         cfg = load_config(env={"HSP_NOPE_X": "1", "PATH": "/bin"})
         assert cfg == EngineConfig()
+
+
+class TestConfigThroughEngine:
+    def test_fusion_strategy_reaches_kernel(self):
+        """A conflict page where highest_confidence and consensus disagree,
+        extracted under each strategy via the kernel entry the engine uses."""
+        from horizon_ocr_python_spark.kernel.document import extract_document
+
+        # kv says $1.00 (conf 0.9); table repeats $2.00 twice via rows ->
+        # consensus favors agreement, highest_confidence favors the 0.9 kv
+        html = (b"<html><body><p>Total: $1.00</p>"
+                b"<table><tr><td>Total</td><td>$2.00</td></tr></table>"
+                b"<table><tr><td>Total</td><td>$2.00</td></tr></table>"
+                b"</body></html>")
+        hc = extract_document("u", html, fusion_strategy="highest_confidence")
+        cs = extract_document("u", html, fusion_strategy="consensus")
+        hc_total = next(f["value"] for f in hc["fields"] if f["name"] == "total")
+        cs_total = next(f["value"] for f in cs["fields"] if f["name"] == "total")
+        assert hc_total == "$1.00"
+        assert cs_total == "$2.00"
