@@ -23,6 +23,7 @@ from horizon_ocr_python_spark.operators import (
     dedup,
     extras,
     fuse_relational,
+    pagemodel,
     relational,
     sessionize,
     similarity,
@@ -115,6 +116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c2_cost_rollup": extras.c2_cost_rollup,
         "o2_route_dispatch": extras.o2_route_dispatch,
         "k4_bio_grouping": extras.k4_bio_grouping,
+        # multi-page document model + anchoring algebra (S1/K9)
+        "s1_page_fanout": pagemodel.s1_page_fanout,
+        "fields_candidates": pagemodel.fields_candidates,
+        "k9_substring_span": pagemodel.k9_substring_span,
         # composed end-to-end flows
         "embedding_cosine_pairs": compose.embedding_cosine_pairs,
         "neardup_verdict": compose.neardup_verdict,
@@ -167,6 +172,9 @@ def oracle_sql() -> dict[str, str]:
         "c2_cost_rollup": extras.C2_COST_ROLLUP_SQL,
         "o2_route_dispatch": extras.O2_ROUTE_DISPATCH_SQL,
         "k4_bio_grouping": extras.K4_BIO_GROUPING_SQL,
+        "s1_page_fanout": pagemodel.S1_PAGE_FANOUT_SQL,
+        "fields_candidates": pagemodel.FIELDS_CANDIDATES_SQL,
+        "k9_substring_span": pagemodel.K9_SUBSTRING_SPAN_SQL,
         "embedding_cosine_pairs": compose.EMBEDDING_COSINE_PAIRS_SQL,
         "neardup_verdict": compose.NEARDUP_VERDICT_SQL,
         "supplier_region_rollup": compose.SUPPLIER_REGION_ROLLUP_SQL,

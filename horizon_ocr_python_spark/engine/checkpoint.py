@@ -67,15 +67,18 @@ def committed_keys(spark: SparkSession, root: str) -> Optional[DataFrame]:
 def filter_uncommitted(pages: DataFrame, committed: Optional[DataFrame]) -> DataFrame:
     """Resume filter: left-anti join pages against already-committed keys.
 
-    Keyed on sha2(html) so re-crawled identical content is skipped too —
-    the dataset-level analogue of the reference's content-addressed cache
-    hit (response_cache.py:95-142).
+    Keyed on (url, sha2(html)) — the MERGE key this module's docstring
+    promises. A re-crawl of the same url with identical bytes is skipped;
+    a NEW url whose bytes happen to equal some committed page is still
+    extracted (it is a distinct output row). Content-only dedup across urls
+    is a separate operator (operators/dedup.exact_dedup), not the resume
+    filter's job.
     """
     if committed is None:
         return pages
     keyed = pages.withColumn("content_key", F.sha2(F.col("html"), 256))
-    return (keyed.join(committed.select("content_key").distinct(),
-                       on="content_key", how="left_anti")
+    return (keyed.join(committed.select("url", "content_key").distinct(),
+                       on=["url", "content_key"], how="left_anti")
             .drop("content_key"))
 
 
@@ -97,10 +100,15 @@ def commit_snapshot(documents: DataFrame, root: str,
             os.path.join(_manifest_dir(root), f"manifest-{snap_id}.json")):
         import shutil
         shutil.rmtree(data_dir)
-    documents.write.mode("errorifexists").parquet(data_dir)
+    # Row count comes from an Observation piggybacked on the write itself —
+    # no second scan of the snapshot we just wrote (at 10^12 rows a re-read
+    # per commit doubles the output I/O).
+    from pyspark.sql import Observation
 
-    spark = documents.sparkSession
-    n_rows = spark.read.parquet(data_dir).count()
+    obs = Observation(f"commit-snap-{snap_id}")
+    observed = documents.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+    observed.write.mode("errorifexists").parquet(data_dir)
+    n_rows = int(obs.get["n_rows"])
     manifest = {
         "snapshot_id": snap_id,
         "parent_id": snap_id - 1 if snap_id > 1 else None,

@@ -26,20 +26,93 @@ from ..kernel.document import extract_document
 from .schema import DOCUMENT_SCHEMA
 
 
-def _doc_to_row(url, warc_ts, lang, doc: dict, content_key: str,
-                partition_id: int, extract_ms: float) -> dict:
-    fields = [{
+def _bbox_dict(bbox) -> dict | None:
+    if bbox is None:
+        return None
+    return {"x1": float(bbox[0]), "y1": float(bbox[1]),
+            "x2": float(bbox[2]), "y2": float(bbox[3])}
+
+
+def _field_row(f: dict) -> dict:
+    return {
         "name": f["name"],
         "value": str(f["value"]) if f["value"] is not None else None,
         "data_type": f["data_type"],
         "confidence": float(f["confidence"]),
         "status": f["status"],
         "chosen_source": f.get("chosen_source"),
+        "page": int(f["page"]) if f.get("page") is not None else None,
+        "bbox": _bbox_dict(f.get("bbox")),
+        "candidates": [{
+            "source": c.get("source"),
+            "value": str(c["value"]) if c.get("value") is not None else None,
+            "confidence": float(c.get("confidence", 0.0)),
+            "page": int(c["page"]) if c.get("page") is not None else None,
+            "bbox": _bbox_dict(c.get("bbox")),
+        } for c in f.get("candidates", [])],
         "n_candidates": len(f.get("candidates", [])),
-    } for f in doc.get("fields", [])]
+    }
+
+
+def _page_row(p: dict) -> dict:
+    md = p.get("metadata") or {}
+    return {
+        "number": int(p["number"]),
+        "width": int(md.get("width", 0)),
+        "height": int(md.get("height", 0)),
+        "content_type": md.get("content_type"),
+        "readability": md.get("readability"),
+        "readability_issues": list(md.get("readability_issues", [])),
+        "layout_regions": [{
+            "type": r.get("type"),
+            "index": int(r["index"]) if r.get("index") is not None else None,
+            "bbox": _bbox_dict(r.get("bbox")),
+            "confidence": float(r.get("confidence", 1.0)),
+        } for r in p.get("layout_regions", [])],
+        "text_lines": [{
+            "text": tl.get("text"),
+            "bbox": _bbox_dict(tl.get("bbox")),
+            "font_size": (float(tl["font_size"])
+                          if tl.get("font_size") is not None else None),
+            "words": [{
+                "text": w.get("text"),
+                "bbox": _bbox_dict(w.get("bbox")),
+                "confidence": float(w.get("confidence", 1.0)),
+            } for w in tl.get("words", [])],
+        } for tl in p.get("text_lines", [])],
+        "tables": [{"rows": t.get("rows", [])} for t in p.get("tables", [])],
+        "raw_text": p.get("raw_text", ""),
+    }
+
+
+def _reconstruction_row(rec: dict | None) -> dict | None:
+    if not rec:
+        return None
+    return {
+        "version": rec.get("version"),
+        "pages": [{"page": int(p["page"]), "width": int(p["width"]),
+                   "height": int(p["height"])} for p in rec.get("pages", [])],
+        "elements": [{
+            "type": e.get("type"), "page": int(e.get("page", 1)),
+            "text": e.get("text"),
+            "x": float(e.get("x", 0.0)), "y": float(e.get("y", 0.0)),
+            "width": float(e.get("width", 0.0)),
+            "height": float(e.get("height", 0.0)),
+            "font_size": (float(e["font_size"])
+                          if e.get("font_size") is not None else None),
+        } for e in rec.get("elements", [])],
+        "fields_summary": {str(k): (str(v) if v is not None else None)
+                           for k, v in (rec.get("fields_summary") or {}).items()},
+    }
+
+
+def _doc_to_row(url, warc_ts, lang, doc: dict, content_key: str,
+                partition_id: int, extract_ms: float) -> dict:
+    fields = [_field_row(f) for f in doc.get("fields", [])]
     v = doc.get("validation") or {}
-    blocks_total = len(doc["pages"][0]["layout_regions"]) if doc.get("pages") else 0
-    content_total = len(doc["pages"][0]["text_lines"]) if doc.get("pages") else 0
+    pages = doc.get("pages") or []
+    blocks_total = sum(len(p["layout_regions"]) for p in pages)
+    content_total = sum(len(p["text_lines"]) for p in pages)
     return {
         "url": url,
         "doc_id": doc["id"],
@@ -54,6 +127,8 @@ def _doc_to_row(url, warc_ts, lang, doc: dict, content_key: str,
         "n_chars": len(doc.get("raw_text", "")),
         "n_blocks": blocks_total,
         "n_content_blocks": content_total,
+        "page_count": int(doc.get("page_count", len(pages))),
+        "pages": [_page_row(p) for p in pages],
         "fields": fields,
         "tables": [{"rows": t.get("rows", [])} for t in doc.get("tables", [])],
         "validation": {
@@ -63,6 +138,7 @@ def _doc_to_row(url, warc_ts, lang, doc: dict, content_key: str,
             "failed_checks": int(v.get("failed_checks", 0)),
             "issues": list(v.get("issues", [])),
         },
+        "reconstruction": _reconstruction_row(doc.get("reconstruction")),
         "partition_id": partition_id,
         "extract_ms": extract_ms,
     }
@@ -71,9 +147,9 @@ def _doc_to_row(url, warc_ts, lang, doc: dict, content_key: str,
 def _make_extract_fn(config: Optional[dict] = None):
     """Build the mapInPandas body with the (broadcastable) config dict
     baked into the closure — the C7 contract: executors see a plain dict,
-    never driver-side dataclasses."""
-    fusion_strategy = ((config or {}).get("fusion") or {}).get(
-        "strategy", "weighted_vote")
+    never driver-side dataclasses. The FULL resolved config reaches the
+    kernel (fusion.*, thresholds.*, extraction.*), so HSP_* env overrides
+    never silently no-op."""
 
     def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         """mapInPandas body. Iterator-of-batches keeps memory bounded (the
@@ -92,7 +168,7 @@ def _make_extract_fn(config: Optional[dict] = None):
                 payload = bytes(html) if html is not None else b""
                 content_key = hashlib.sha256(payload).hexdigest()
                 doc = extract_document(url, payload, warc_ts, lang,
-                                       fusion_strategy=fusion_strategy)
+                                       config=config)
                 ms = (time.perf_counter() - t0) * 1000.0
                 rows.append(_doc_to_row(url, warc_ts, lang, doc, content_key,
                                         pid, ms))
@@ -120,7 +196,13 @@ def extract_stage(pages: DataFrame, config: Optional[dict] = None) -> DataFrame:
 def with_json_output(documents: DataFrame) -> DataFrame:
     """S5 JSON sink (orchestrator.py:1374-1412): one JSON document per row,
     rendered JVM-side with F.to_json over the nested struct — the per-doc
-    serialization the reference writes to output/*.json, as a column."""
+    serialization the reference writes to output/*.json, as a column.
+
+    Top-level keys match JSON_SCHEMA.md:5-18 (id, metadata, page_count,
+    pages, tables, fields, validation) plus the embedded flat
+    reconstruction_prompt block the reference adds at save time
+    (orchestrator.py:1387-1391); status/error carry the per-row containment
+    verdict (types.py:317-323)."""
     from pyspark.sql import functions as F
 
     doc_struct = F.struct(
@@ -129,8 +211,10 @@ def with_json_output(documents: DataFrame) -> DataFrame:
             F.col("url"), F.col("file_type"), F.col("lang"),
             F.col("warc_ts").cast("string").alias("processed_at"),
         ).alias("metadata"),
+        F.col("page_count"), F.col("pages"),
         F.col("title"), F.col("raw_text"),
         F.col("fields"), F.col("tables"), F.col("validation"),
+        F.col("reconstruction").alias("reconstruction_prompt"),
         F.col("status"), F.col("error"),
     )
     return documents.withColumn("json", F.to_json(doc_struct))

@@ -29,19 +29,37 @@ def run_extraction(pages: DataFrame, *, num_partitions: Optional[int] = None,
                    rows_hint: Optional[int] = None,
                    output_root: Optional[str] = None,
                    resume: bool = True,
-                   config: Optional[dict] = None) -> RunResult:
+                   config: Optional[dict] = None,
+                   count_skipped: bool = False) -> RunResult:
     """Run the pipeline. With `output_root`, commits a snapshot and appends
     per-partition metrics alongside (resumable); without, returns the lazy
-    documents DataFrame (caller materializes)."""
+    documents DataFrame (caller materializes).
+
+    `count_skipped=True` additionally counts rows dropped by the resume
+    filter (one extra metadata-cheap aggregate over the input keys) —
+    off by default so a resume run never pays an extra input scan.
+    """
     spark = pages.sparkSession
 
     committed = None
     if output_root and resume:
         committed = ckpt.committed_keys(spark, output_root)
-    todo = ckpt.filter_uncommitted(pages, committed)
+    # Length-cap BEFORE the resume key is computed: extract_stage hashes the
+    # payload it receives (the capped bytes), so the resume anti-join must
+    # hash the same payload or oversized rows re-extract on every resume.
     max_bytes = (((config or {}).get("extraction") or {})
                  .get("max_payload_bytes", 8 * 1024 * 1024))
-    todo = with_length_cap(todo, max_bytes=max_bytes)
+    capped = with_length_cap(pages, max_bytes=max_bytes)
+    todo = ckpt.filter_uncommitted(capped, committed)
+
+    n_skipped = None
+    if count_skipped and committed is not None:
+        from pyspark.sql import functions as F
+
+        keyed = capped.withColumn("content_key", F.sha2(F.col("html"), 256))
+        n_skipped = (keyed.join(
+            committed.select("url", "content_key").distinct(),
+            on=["url", "content_key"], how="left_semi").count())
 
     n = num_partitions or partitions_for(spark, rows_hint)
     distributed = salted_repartition(todo, n)
@@ -49,7 +67,8 @@ def run_extraction(pages: DataFrame, *, num_partitions: Optional[int] = None,
 
     if not output_root:
         return RunResult(documents=documents,
-                         metrics=extracted_metrics(documents), snapshot_id=None)
+                         metrics=extracted_metrics(documents), snapshot_id=None,
+                         n_skipped_committed=n_skipped)
 
     snap_id = ckpt.commit_snapshot(documents, output_root)
     committed_docs = spark.read.parquet(
@@ -58,7 +77,8 @@ def run_extraction(pages: DataFrame, *, num_partitions: Optional[int] = None,
     metrics.write.mode("append").parquet(f"{output_root}/metrics")
     return RunResult(documents=committed_docs,
                      metrics=spark.read.parquet(f"{output_root}/metrics"),
-                     snapshot_id=snap_id)
+                     snapshot_id=snap_id,
+                     n_skipped_committed=n_skipped)
 
 
 def pages_dataframe(spark: SparkSession, n_rows: int, seed: int = 42,

@@ -15,6 +15,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -30,6 +31,24 @@ PAGES_SCHEMA = StructType([
     StructField("lang", StringType(), True),
 ])
 
+# BoundingBox (types.py:96-104): x1/y1/x2/y2, top-left origin.
+BBOX_SCHEMA = StructType([
+    StructField("x1", DoubleType(), True),
+    StructField("y1", DoubleType(), True),
+    StructField("x2", DoubleType(), True),
+    StructField("y2", DoubleType(), True),
+])
+
+# Candidate (types.py:201-209): per-source value with confidence/page/bbox.
+CANDIDATE_SCHEMA = StructType([
+    StructField("source", StringType(), True),
+    StructField("value", StringType(), True),
+    StructField("confidence", DoubleType(), True),
+    StructField("page", IntegerType(), True),
+    StructField("bbox", BBOX_SCHEMA, True),
+])
+
+# Field (types.py:220-236): value + full candidate list + anchor position.
 FIELD_SCHEMA = StructType([
     StructField("name", StringType(), False),
     StructField("value", StringType(), True),
@@ -37,11 +56,73 @@ FIELD_SCHEMA = StructType([
     StructField("confidence", DoubleType(), True),
     StructField("status", StringType(), True),
     StructField("chosen_source", StringType(), True),
+    StructField("page", IntegerType(), True),
+    StructField("bbox", BBOX_SCHEMA, True),
+    StructField("candidates", ArrayType(CANDIDATE_SCHEMA), True),
     StructField("n_candidates", IntegerType(), True),
 ])
 
 TABLE_SCHEMA = StructType([
     StructField("rows", ArrayType(ArrayType(StringType())), True),
+])
+
+# Word / TextLine (types.py:129-149): positions where the source has them
+# (PDF text layer); HTML blocks carry no geometry -> nulls, empty words.
+WORD_SCHEMA = StructType([
+    StructField("text", StringType(), True),
+    StructField("bbox", BBOX_SCHEMA, True),
+    StructField("confidence", DoubleType(), True),
+])
+
+LINE_SCHEMA = StructType([
+    StructField("text", StringType(), True),
+    StructField("bbox", BBOX_SCHEMA, True),
+    StructField("font_size", DoubleType(), True),
+    StructField("words", ArrayType(WORD_SCHEMA), True),
+])
+
+REGION_SCHEMA = StructType([
+    StructField("type", StringType(), True),
+    StructField("index", IntegerType(), True),
+    StructField("bbox", BBOX_SCHEMA, True),
+    StructField("confidence", DoubleType(), True),
+])
+
+# Page (types.py:252-266 / JSON_SCHEMA.md Page block).
+PAGE_SCHEMA = StructType([
+    StructField("number", IntegerType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("content_type", StringType(), True),
+    StructField("readability", StringType(), True),
+    StructField("readability_issues", ArrayType(StringType()), True),
+    StructField("layout_regions", ArrayType(REGION_SCHEMA), True),
+    StructField("text_lines", ArrayType(LINE_SCHEMA), True),
+    StructField("tables", ArrayType(TABLE_SCHEMA), True),
+    StructField("raw_text", StringType(), True),
+])
+
+# R1 flat reconstruction view embedded in output (io/reconstruction.py:136-250).
+RECON_ELEMENT_SCHEMA = StructType([
+    StructField("type", StringType(), True),
+    StructField("page", IntegerType(), True),
+    StructField("text", StringType(), True),
+    StructField("x", DoubleType(), True),
+    StructField("y", DoubleType(), True),
+    StructField("width", DoubleType(), True),
+    StructField("height", DoubleType(), True),
+    StructField("font_size", DoubleType(), True),
+])
+
+RECONSTRUCTION_SCHEMA = StructType([
+    StructField("version", StringType(), True),
+    StructField("pages", ArrayType(StructType([
+        StructField("page", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ])), True),
+    StructField("elements", ArrayType(RECON_ELEMENT_SCHEMA), True),
+    StructField("fields_summary", MapType(StringType(), StringType()), True),
 ])
 
 VALIDATION_SCHEMA = StructType([
@@ -69,9 +150,12 @@ DOCUMENT_SCHEMA = StructType([
     StructField("n_chars", LongType(), True),
     StructField("n_blocks", IntegerType(), True),
     StructField("n_content_blocks", IntegerType(), True),
+    StructField("page_count", IntegerType(), True),
+    StructField("pages", ArrayType(PAGE_SCHEMA), True),
     StructField("fields", ArrayType(FIELD_SCHEMA), True),
     StructField("tables", ArrayType(TABLE_SCHEMA), True),
     StructField("validation", VALIDATION_SCHEMA, True),
+    StructField("reconstruction", RECONSTRUCTION_SCHEMA, True),
     StructField("partition_id", IntegerType(), True),
     StructField("extract_ms", DoubleType(), True),
 ])

@@ -5,12 +5,18 @@ DocumentProcessor.process (pipeline/orchestrator.py:411-571) with the same
 output contract (JSON_SCHEMA.md:5-18 top-level keys: id, metadata,
 page_count, pages, tables, fields, validation) minus the image-only stages.
 
-Stage order per page (orchestrator.py:631-816): parse/segment -> layout
-classify -> reading order -> raw_text -> KIE -> (doc level) fuse -> validate
--> assemble. Determinism deviations from the reference, per SURVEY §7.5:
+Stage order (orchestrator.py:497-522): per-page loop (parse/segment ->
+layout classify -> reading order -> raw_text -> KIE per page) -> doc-level
+fuse across the per-page field lists -> spatial anchoring -> validate ->
+assemble. Multi-page PDFs fan out exactly like the reference's
+`for page_num, page_image in enumerate(page_images, 1)` loop.
+
+Determinism deviations from the reference, per SURVEY §7.5:
 - id = sha256(url) instead of uuid (types.py:140)
 - processed_at = the row's warc_ts instead of wall clock (types.py:282)
 - DateValidator 'now' is injectable
+- PDF word boxes are deterministic width estimates (no font metrics in this
+  container): advance = 0.6 * font_size per char, Helvetica-average
 """
 
 from __future__ import annotations
@@ -19,10 +25,13 @@ import hashlib
 from datetime import datetime
 from typing import Any, Optional
 
+from . import anchor as anchor_mod
 from . import fuse as fuse_mod
-from . import html_extract, kie, pdf_text, validators
+from . import html_extract, kie, pdf_text, reading_order, validators
 
-ENGINE_VERSION = "0.1.0"
+ENGINE_VERSION = "0.2.0"
+
+AVG_CHAR_W = 0.6  # average Helvetica advance as a fraction of font size
 
 
 def doc_id_for_url(url: str) -> str:
@@ -44,29 +53,56 @@ def _validation_summary(check_results: list[dict]) -> dict:
     }
 
 
-def _apply_validator_status(fields: list[dict], now: Optional[datetime]) -> list[dict]:
+def _apply_validator_status(fields: list[dict], now: Optional[datetime],
+                            low_confidence: float = 0.5) -> list[dict]:
     """Run auto-selected validators per field and update status
-    (orchestrator.py:1304-1347): all passed & conf>=0.5 -> validated;
-    any failed -> validation_failed."""
+    (orchestrator.py:1304-1347): all passed & conf >= thresholds.low_confidence
+    -> validated; any failed -> validation_failed."""
     for f in fields:
         results = validators.run_validators(f["name"], f["data_type"], f["value"], now=now)
         f["validators"] = results
         if results:
-            if all(r["passed"] for r in results) and f["confidence"] >= 0.5:
+            if all(r["passed"] for r in results) and f["confidence"] >= low_confidence:
                 f["status"] = "validated"
             elif any(not r["passed"] for r in results):
                 f["status"] = "validation_failed"
     return fields
 
 
+def _resolve_settings(config: Optional[dict], fusion_strategy: str) -> dict:
+    """Flatten the C7 EngineConfig dict into the knobs this kernel consumes.
+    Every validated section reaches the stage it governs — HSP_* overrides
+    must never silently no-op."""
+    cfg = config or {}
+    fus = cfg.get("fusion") or {}
+    thr = cfg.get("thresholds") or {}
+    extr = cfg.get("extraction") or {}
+    return {
+        "strategy": fus.get("strategy", fusion_strategy),
+        "min_confidence": fus.get("min_confidence", fuse_mod.MIN_CONFIDENCE),
+        "validator_bonus": fus.get("validator_bonus", fuse_mod.VALIDATOR_BONUS),
+        "source_weights": fus.get("source_weights") or None,
+        "low_confidence": thr.get("low_confidence", 0.5),
+        "min_block_chars": extr.get("min_block_chars"),
+        "max_link_density": extr.get("max_link_density"),
+    }
+
+
 def extract_document(url: str, payload: bytes, warc_ts: Any = None,
                      lang: str = "", now: Optional[datetime] = None,
-                     fusion_strategy: str = "weighted_vote") -> dict:
+                     fusion_strategy: str = "weighted_vote",
+                     config: Optional[dict] = None) -> dict:
     """Extract one document. Never raises: failures are contained into
     status/error per the reference's ProcessingResult contract
-    (types.py:317-323) — a failed doc must not kill a task (SURVEY §4)."""
+    (types.py:317-323) — a failed doc must not kill a task (SURVEY §4).
+
+    `config` is an EngineConfig.to_dict() (kernel.config); explicit
+    `fusion_strategy` is the round-1 API and acts as the default when the
+    config carries no fusion.strategy.
+    """
     try:
-        return _extract(url, payload, warc_ts, lang, now, fusion_strategy)
+        return _extract(url, payload, warc_ts, lang, now,
+                        _resolve_settings(config, fusion_strategy))
     except Exception as exc:  # noqa: BLE001 — containment boundary
         return {
             "id": doc_id_for_url(url),
@@ -95,59 +131,140 @@ def _metadata(url: str, payload: bytes, file_type: str, warc_ts: Any, lang: str)
     }
 
 
+def _pdf_line_struct(ln: dict) -> dict:
+    """PDF line -> TextLine dict with word boxes (types.py:129-149).
+
+    The generated subset has no per-word positions, so word boxes are
+    deterministic advance estimates: cursor starts at the line x, each char
+    advances AVG_CHAR_W * font_size. Box height is one em (baseline at y)."""
+    size = float(ln.get("font_size", 12.0))
+    x, y = float(ln["x"]), float(ln["y"])
+    step = AVG_CHAR_W * size
+    words = []
+    cursor = x
+    for w in ln["text"].split(" "):
+        if w:
+            words.append({"text": w,
+                          "bbox": (cursor, y - size, cursor + step * len(w), y),
+                          "confidence": 1.0})
+        cursor += step * (len(w) + 1)
+    return {
+        "text": ln["text"],
+        "page": int(ln.get("page", 1)),
+        "bbox": (x, y - size, x + step * len(ln["text"]), y),
+        "font_size": size,
+        "words": words,
+    }
+
+
+def build_reconstruction(pages: list[dict], fields: list[dict]) -> dict:
+    """R1 flat view embedded in the JSON output (orchestrator.py:1387-1391
+    via io/reconstruction.py:136-250): per-page dims + text elements deduped
+    on (text, y-band) and sorted in reading order, + fields summary.
+
+    Subset deviation (documented): no style block (font name/bold/italic) —
+    our TextLine carries font_size only — and table grids stay in the
+    document-level `tables` array rather than being duplicated here."""
+    out_pages = [{"page": p["number"],
+                  "width": p["metadata"]["width"],
+                  "height": p["metadata"]["height"]} for p in pages]
+    elements = []
+    for p in pages:
+        for tl in p["text_lines"]:
+            text = (tl.get("text") or "").strip()
+            if not text:
+                continue
+            b = tl.get("bbox")
+            x, y, w, h = ((float(b[0]), float(b[1]),
+                           float(b[2]) - float(b[0]), float(b[3]) - float(b[1]))
+                          if b else (0.0, 0.0, 0.0, 0.0))
+            elements.append({"type": "text", "page": p["number"], "text": text,
+                             "x": x, "y": y, "width": w, "height": h,
+                             "font_size": tl.get("font_size")})
+    elements = reading_order.dedup_elements(elements)
+    elements = reading_order.sort_reading_order(elements)
+    return {
+        "version": "1.0",
+        "pages": out_pages,
+        "elements": elements,
+        "fields_summary": {f["name"]: f["value"] for f in fields},
+    }
+
+
 def _extract(url: str, payload: bytes, warc_ts: Any, lang: str,
-             now: Optional[datetime], fusion_strategy: str) -> dict:
+             now: Optional[datetime], st: dict) -> dict:
     if payload is None:
         payload = b""
     if isinstance(payload, str):
         payload = payload.encode("utf-8")
     file_type = pdf_text.sniff_type(payload)
 
+    tables_rows: list[dict] = []
+    page_dims = (0, 0)
+    readability, readability_issues = "good", []
+
     if file_type == "pdf":
         ex = pdf_text.extract_pdf(payload)
-        content_lines = [ln["text"] for ln in ex["lines"]]
-        kv_lines = content_lines
-        tables_rows: list[dict] = []
-        regions = [{"type": "text", "text": ln["text"], "x": ln["x"], "y": ln["y"]}
-                   for ln in ex["lines"]]
+        page_dims = (pdf_text.PAGE_W, pdf_text.PAGE_H)
+        n_pages = max(int(ex.get("n_pages", 1)), 1)
+        # per-page fan-out: lines arrive in reading order, grouped by page
+        lines_by_page: dict[int, list[dict]] = {p: [] for p in range(1, n_pages + 1)}
+        for ln in ex["lines"]:
+            lines_by_page.setdefault(int(ln["page"]), []).append(ln)
+        page_text_lines = {p: [_pdf_line_struct(ln) for ln in lns]
+                           for p, lns in lines_by_page.items()}
+        page_regions = {p: [{"type": "text", "bbox": tl["bbox"], "page": p,
+                             "confidence": 1.0}
+                            for tl in tls]
+                        for p, tls in page_text_lines.items()}
+        # KIE runs per page (the reference's per-page loop collects one field
+        # list per page, orchestrator.py:497-513) so candidates carry true pages
+        field_lists = [kie.extract_kv_fields(
+            [tl["text"] for tl in page_text_lines[p]], confidence=0.9,
+            page_num=p, source="pdf_text") for p in sorted(page_text_lines)]
+        ex_title, ex_raw = ex["title"], ex["raw_text"]
     elif file_type == "image":
         # PNG decodes for real (kernel.png); without OCR model weights the
         # text stays empty — exactly the reference's no-weights fallback
         # (trocr.py model_loaded gate). Readability metadata is computed
         # from the decoded pixels (P9).
-        ex = {"title": "", "raw_text": "", "tables": []}
-        content_lines = []
-        kv_lines = []
-        tables_rows = []
-        regions = []
+        n_pages = 1
+        page_text_lines = {1: []}
+        page_regions = {1: []}
+        field_lists = []
+        ex_title, ex_raw = "", ""
         try:
             from . import multimodal, preprocess
 
             img = multimodal.decode_image(payload)
-            readability, issues = preprocess.assess_readability(img)
-            regions = [{"type": "image", "text": "",
-                        "x": 0.0, "y": 0.0,
-                        "width": float(img.shape[1]),
-                        "height": float(img.shape[0]),
-                        "readability": readability}]
+            readability, readability_issues = preprocess.assess_readability(img)
+            page_dims = (int(img.shape[1]), int(img.shape[0]))
+            page_regions = {1: [{"type": "image", "page": 1, "confidence": 1.0,
+                                 "bbox": (0.0, 0.0, float(img.shape[1]),
+                                          float(img.shape[0]))}]}
         except NotImplementedError:
-            pass  # non-PNG formats: metadata-only (header parse upstream)
+            pass  # undecodable format: metadata-only (header parse upstream)
     else:
-        hx = html_extract.extract_html(payload)
-        ex = {"title": hx["title"], "raw_text": hx["raw_text"], "tables": hx["tables"]}
-        content_lines = [b["text"] for b in hx["content_blocks"]]
+        hx = html_extract.extract_html(
+            payload, min_block_chars=st["min_block_chars"],
+            max_link_density=st["max_link_density"])
+        n_pages = 1
+        page_text_lines = {1: [{"text": b["text"], "page": 1, "bbox": None,
+                                "font_size": None, "words": []}
+                               for b in hx["content_blocks"]]}
+        page_regions = {1: [{"type": b["role"], "index": b["index"],
+                             "bbox": None, "page": 1, "confidence": 1.0}
+                            for b in hx["blocks"]]}
+        tables_rows = hx["tables"]
         # KV fields come from body blocks only: headings routinely contain
         # colons ("Document 12: ...") and would produce junk fields
         kv_lines = [b["text"] for b in hx["content_blocks"]
                     if b["role"] in ("paragraph", "list_item")]
-        tables_rows = hx["tables"]
-        regions = [{"type": b["role"], "text": b["text"], "index": b["index"]}
-                   for b in hx["blocks"]]
+        field_lists = [kie.extract_kv_fields(kv_lines, confidence=0.9,
+                                             page_num=1, source="html_kv")]
+        ex_title, ex_raw = hx["title"], hx["raw_text"]
 
-    # KIE: key-value fields from content lines (kv source), plus table-derived
-    # fields from 2-column tables (label/value shape -> html_table source)
-    kv_fields = kie.extract_kv_fields(kv_lines, confidence=0.9,
-                                      page_num=1, source="html_kv")
+    # table-derived fields from 2-column tables (label/value shape)
     table_fields: list[dict] = []
     for t in tables_rows:
         rows = t.get("rows", [])
@@ -160,34 +277,54 @@ def _extract(url: str, payload: bytes, warc_ts: Any, lang: str,
             table_fields.extend(kie.flatten_to_fields(
                 data, confidence=0.85, page_num=1, source="html_table"))
 
-    fields = fuse_mod.fuse_fields([kv_fields, table_fields], strategy=fusion_strategy)
-    fields = _apply_validator_status(fields, now)
+    fields = fuse_mod.fuse_fields(
+        field_lists + [table_fields], strategy=st["strategy"],
+        source_weights=st["source_weights"],
+        min_confidence=st["min_confidence"],
+        validator_bonus=st["validator_bonus"])
+
+    # K9 spatial anchoring (orchestrator.py:1190-1302): attach bbox/page from
+    # word/line/substring/cell matches; HTML lines carry no geometry, so
+    # anchoring is effective on the PDF path and a no-op (no false anchors)
+    # on HTML — the reference's rule 5.
+    all_text_lines = [tl for p in sorted(page_text_lines)
+                      for tl in page_text_lines[p]]
+    fields = anchor_mod.anchor_fields(fields, all_text_lines, tables_rows)
+
+    fields = _apply_validator_status(fields, now,
+                                     low_confidence=st["low_confidence"])
 
     field_checks = [r for f in fields for r in f.get("validators", [])]
     consistency = validators.validate_document_consistency(
         [{"name": f["name"], "value": f["value"]} for f in fields])
     validation = _validation_summary(field_checks + consistency)
 
-    page = {
-        "number": 1,
-        "metadata": {"width": 0, "height": 0, "content_type": file_type,
-                     "readability": "good", "readability_issues": []},
-        "layout_regions": regions,
-        "text_lines": [{"text": t} for t in content_lines],
-        "tables": tables_rows,
-        "raw_text": ex["raw_text"],
-    }
+    pages = []
+    for p in range(1, n_pages + 1):
+        tls = page_text_lines.get(p, [])
+        pages.append({
+            "number": p,
+            "metadata": {"width": page_dims[0], "height": page_dims[1],
+                         "content_type": file_type,
+                         "readability": readability,
+                         "readability_issues": readability_issues},
+            "layout_regions": page_regions.get(p, []),
+            "text_lines": tls,
+            "tables": tables_rows if p == 1 else [],
+            "raw_text": reading_order.assemble_raw_text(tls),
+        })
 
     return {
         "id": doc_id_for_url(url),
         "status": "ok",
         "error": "",
         "metadata": _metadata(url, payload, file_type, warc_ts, lang),
-        "title": ex["title"],
-        "page_count": 1,
-        "pages": [page],
+        "title": ex_title,
+        "page_count": n_pages,
+        "pages": pages,
         "tables": tables_rows,
         "fields": fields,
         "validation": validation,
-        "raw_text": ex["raw_text"],
+        "raw_text": ex_raw,
+        "reconstruction": build_reconstruction(pages, fields),
     }

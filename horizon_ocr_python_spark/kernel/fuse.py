@@ -206,7 +206,9 @@ def determine_status(selected: dict, all_candidates: list[dict]) -> str:
 
 def fuse_single_field(fields: list[dict], strategy: str = "weighted_vote",
                       validators: Optional[list[Callable]] = None,
-                      source_weights: Optional[dict] = None) -> Optional[dict]:
+                      source_weights: Optional[dict] = None,
+                      min_confidence: float = MIN_CONFIDENCE,
+                      validator_bonus: float = VALIDATOR_BONUS) -> Optional[dict]:
     """Fuse one field group (fuse.py:177-244)."""
     if not fields:
         return None
@@ -231,10 +233,12 @@ def fuse_single_field(fields: list[dict], strategy: str = "weighted_vote",
     if not all_candidates:
         return fields[0]
     if validators:
-        all_candidates = apply_validators(all_candidates, validators)
+        all_candidates = apply_validators(all_candidates, validators,
+                                          validator_bonus=validator_bonus)
 
     selectors = {
-        "highest_confidence": lambda: select_highest_confidence(all_candidates),
+        "highest_confidence": lambda: select_highest_confidence(
+            all_candidates, min_confidence=min_confidence),
         "weighted_vote": lambda: select_weighted_vote(all_candidates, source_weights),
         "validator_priority": lambda: select_validator_priority(all_candidates),
         "consensus": lambda: select_consensus(all_candidates, source_weights),
@@ -259,7 +263,9 @@ def fuse_single_field(fields: list[dict], strategy: str = "weighted_vote",
 
 def fuse_fields(field_lists: list[list[dict]], strategy: str = "weighted_vote",
                 validators: Optional[list[Callable]] = None,
-                source_weights: Optional[dict] = None) -> list[dict]:
+                source_weights: Optional[dict] = None,
+                min_confidence: float = MIN_CONFIDENCE,
+                validator_bonus: float = VALIDATOR_BONUS) -> list[dict]:
     """Group by normalized name, fuse each group, quality-filter
     (fuse.py:73-108)."""
     field_groups: dict[str, list[dict]] = defaultdict(list)
@@ -269,7 +275,9 @@ def fuse_fields(field_lists: list[list[dict]], strategy: str = "weighted_vote",
 
     fused = []
     for _, group in field_groups.items():
-        f = fuse_single_field(group, strategy, validators, source_weights)
+        f = fuse_single_field(group, strategy, validators, source_weights,
+                              min_confidence=min_confidence,
+                              validator_bonus=validator_bonus)
         if f:
             fused.append(f)
     return filter_low_quality_fields(fused)

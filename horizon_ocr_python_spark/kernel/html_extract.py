@@ -225,7 +225,9 @@ class _Extractor(HTMLParser):
         self._flush()
 
 
-def classify_block(block: dict) -> tuple[str, bool, str]:
+def classify_block(block: dict, *,
+                   min_block_chars: int = None,
+                   max_link_density: float = None) -> tuple[str, bool, str]:
     """Classify a block -> (role, dropped, drop_reason).
 
     Deterministic rules, in order (mirrors the precedence style of
@@ -236,23 +238,33 @@ def classify_block(block: dict) -> tuple[str, bool, str]:
     4. fewer than MIN_BLOCK_CHARS chars -> drop 'too_short'
     5. else keep, role 'list_item' for li/dt/dd, 'paragraph' otherwise
     """
+    if min_block_chars is None:
+        min_block_chars = MIN_BLOCK_CHARS
+    if max_link_density is None:
+        max_link_density = MAX_LINK_DENSITY
     tag = block["tag"]
     if block["boiler"]:
         return ("boilerplate", True, "boilerplate_container")
     if tag in HEADING_TAGS:
         return ("title" if tag == "h1" else "heading", False, "")
     link_density = block["link_chars"] / block["n_chars"] if block["n_chars"] else 1.0
-    if link_density > MAX_LINK_DENSITY:
+    if link_density > max_link_density:
         return ("nav_like", True, "link_density")
-    if block["n_chars"] < MIN_BLOCK_CHARS:
+    if block["n_chars"] < min_block_chars:
         return ("noise", True, "too_short")
     if tag in ("li", "dt", "dd"):
         return ("list_item", False, "")
     return ("paragraph", False, "")
 
 
-def extract_html(html: bytes | str) -> dict[str, Any]:
-    """Extract main content from one HTML document. Pure and deterministic."""
+def extract_html(html: bytes | str, *,
+                 min_block_chars: int = None,
+                 max_link_density: float = None) -> dict[str, Any]:
+    """Extract main content from one HTML document. Pure and deterministic.
+
+    `min_block_chars` / `max_link_density` override the module thresholds
+    (C7 config `extraction.*` reaches this boundary; defaults unchanged).
+    """
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     parser = _Extractor()
@@ -264,7 +276,9 @@ def extract_html(html: bytes | str) -> dict[str, Any]:
     headings = []
     title = _collapse_ws("".join(parser.title_parts))
     for blk in parser.blocks:
-        role, dropped, reason = classify_block(blk)
+        role, dropped, reason = classify_block(
+            blk, min_block_chars=min_block_chars,
+            max_link_density=max_link_density)
         link_density = (blk["link_chars"] / blk["n_chars"]) if blk["n_chars"] else 0.0
         out = {
             "index": blk["index"], "tag": blk["tag"], "role": role,

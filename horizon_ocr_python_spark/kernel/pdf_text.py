@@ -1,55 +1,89 @@
 """Minimal PDF text layer: a deterministic writer and extractor for the
-uncompressed text-only PDF subset our synthetic generator emits.
+text-only PDF subset our synthetic generator emits.
 
 The reference rasterizes PDFs with PyMuPDF and OCRs them (io/pdf.py:44-142);
 it also has a native-text fast path reading PyMuPDF span dicts when the PDF
 carries a text layer (extract/pdf_style_extractor.py:101-189, gated on total
 chars > 100 at :67-98). PyMuPDF is not available in this environment, so this
-module implements the native-text path directly on the PDF COS syntax for the
-subset we generate: one content stream per page, no compression, Tj text
-operators with Td positioning — the same operator stream PyMuPDF would parse.
+module implements the native-text path directly on the PDF COS syntax:
 
-Reading order matches the reference's reconstruction sort: y-band then x
-(io/reconstruction.py:121-133), with PDF's bottom-left origin converted to
-top-down y before banding.
+- multi-page documents (one content stream per page, /Kids fan-out) — the
+  reference's per-page loop shape (orchestrator.py:497-513);
+- uncompressed AND FlateDecode (zlib) content streams, the compression real
+  PDFs use (stdlib zlib — no new dependency);
+- Tm absolute and Td relative text positioning, the two operators PyMuPDF's
+  span dicts normalize away.
+
+Reading order matches the reference's reconstruction sort: page, then y-band,
+then x (io/reconstruction.py:121-133), with PDF's bottom-left origin converted
+to top-down y before banding.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Optional
+import zlib
 
 PAGE_W, PAGE_H = 612, 792  # US Letter, the reference fixture size (conftest.py:79-103)
 
 
-def build_pdf(lines: list[tuple[float, float, str, float]]) -> bytes:
-    """Build a single-page uncompressed PDF.
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
-    `lines` = [(x, y_top, text, font_size)] with y_top measured from the TOP
-    of the page (reference-fixture convention, conftest.py:85-99).
-    Deterministic byte output for fixed input.
-    """
 
-    def esc(s: str) -> str:
-        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
-
+def _page_stream(lines: list[tuple[float, float, str, float]],
+                 use_td: bool = False) -> bytes:
+    """Content stream for one page. `lines` = [(x, y_top, text, font_size)]
+    with y_top measured from the TOP of the page (reference-fixture
+    convention, conftest.py:85-99). With `use_td`, positions are emitted as
+    Td offsets relative to the previous line (the form real generators like
+    LaTeX emit) instead of absolute Tm matrices."""
     ops = ["BT"]
+    cx, cy = 0.0, 0.0
     for x, y_top, text, size in lines:
         y_pdf = PAGE_H - y_top
         ops.append(f"/F1 {size:g} Tf")
-        ops.append(f"1 0 0 1 {x:g} {y_pdf:g} Tm")
-        ops.append(f"({esc(text)}) Tj")
+        if use_td:
+            ops.append(f"{x - cx:g} {y_pdf - cy:g} Td")
+            cx, cy = x, y_pdf
+        else:
+            ops.append(f"1 0 0 1 {x:g} {y_pdf:g} Tm")
+        ops.append(f"({_esc(text)}) Tj")
     ops.append("ET")
-    stream = "\n".join(ops).encode("latin-1", errors="replace")
+    return "\n".join(ops).encode("latin-1", errors="replace")
 
-    objects = [
+
+def build_pdf_pages(pages: list[list[tuple[float, float, str, float]]],
+                    compress: bool = False, use_td: bool = False) -> bytes:
+    """Build a deterministic multi-page PDF.
+
+    Object layout: catalog(1), pages(2), then per page i: page object and its
+    content stream object, then the shared font object last. With `compress`,
+    content streams are zlib-deflated and tagged /FlateDecode.
+    """
+    n = len(pages)
+    font_obj_num = 3 + 2 * n
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+
+    objects: list[bytes] = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
-         f"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>").encode(),
-        b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n" + stream + b"\nendstream",
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
     ]
+    for i, lines in enumerate(pages):
+        page_num, stream_num = 3 + 2 * i, 4 + 2 * i
+        objects.append(
+            (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+             f"/Contents {stream_num} 0 R "
+             f"/Resources << /Font << /F1 {font_obj_num} 0 R >> >> >>").encode())
+        raw = _page_stream(lines, use_td=use_td)
+        if compress:
+            data = zlib.compress(raw, 6)
+            head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+        else:
+            data = raw
+            head = f"<< /Length {len(data)} >>".encode()
+        objects.append(head + b"\nstream\n" + data + b"\nendstream")
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -66,16 +100,66 @@ def build_pdf(lines: list[tuple[float, float, str, float]]) -> bytes:
     return bytes(out)
 
 
-_TM_RE = re.compile(
-    rb"1 0 0 1 ([0-9.+-]+) ([0-9.+-]+) Tm\s*\(((?:[^()\\]|\\.)*)\) Tj")
-_TD_RE = re.compile(
-    rb"([0-9.+-]+) ([0-9.+-]+) Td\s*\(((?:[^()\\]|\\.)*)\) Tj")
+def build_pdf(lines: list[tuple[float, float, str, float]],
+              compress: bool = False, use_td: bool = False) -> bytes:
+    """Single-page convenience wrapper (the round-1 API)."""
+    return build_pdf_pages([lines], compress=compress, use_td=use_td)
+
+
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 _SIZE_RE = re.compile(rb"/F\d+ ([0-9.]+) Tf")
+
+# One operator per match: font select, absolute Tm, relative Td, show text.
+_TOKEN_RE = re.compile(
+    rb"(/F\d+ [0-9.]+ Tf)"
+    rb"|(?:1 0 0 1 ([0-9.+-]+) ([0-9.+-]+) Tm)"
+    rb"|(?:([0-9.+-]+) ([0-9.+-]+) Td)"
+    rb"|(?:\(((?:[^()\\]|\\.)*)\) Tj)"
+    rb"|(BT)")
 
 
 def _unescape(raw: bytes) -> str:
     return (raw.decode("latin-1")
             .replace(r"\(", "(").replace(r"\)", ")").replace("\\\\", "\\"))
+
+
+def _iter_streams(pdf: bytes):
+    """Yield decoded content-stream bytes in document order.
+
+    Uses /Length for exact slicing (compressed payloads may contain any byte
+    sequence, including 'endstream') and falls back to scanning for the
+    terminator when /Length is absent. A stream that fails to inflate is
+    skipped, not raised — per-document error containment happens one level
+    up, but a single corrupt page should not void its siblings."""
+    pos = 0
+    head_re = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
+    while True:
+        m = head_re.search(pdf, pos)
+        if not m:
+            return
+        # the innermost dict right before `stream` (page objects have nested
+        # << /Font ... >> dicts that the non-greedy match can swallow)
+        dict_txt = m.group(1).split(b"<<")[-1]
+        data_start = m.end()
+        lm = _LENGTH_RE.search(dict_txt)
+        if lm:
+            data_end = data_start + int(lm.group(1))
+        else:
+            term = pdf.find(b"endstream", data_start)
+            if term == -1:
+                return
+            data_end = term
+            while data_end > data_start and pdf[data_end - 1:data_end] in (b"\n", b"\r"):
+                data_end -= 1
+        data = pdf[data_start:data_end]
+        pos = data_end
+        if b"/FlateDecode" in dict_txt:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                yield None  # corrupt page stream: keep siblings AND numbering
+                continue
+        yield data
 
 
 def extract_pdf_text_lines(pdf: bytes) -> list[dict]:
@@ -86,34 +170,34 @@ def extract_pdf_text_lines(pdf: bytes) -> list[dict]:
     back in reading order: (page, y-band 50px, x) per reconstruction.py:121-133.
     """
     lines: list[dict] = []
-    # the generator emits one content stream per page in order
-    for page_num, stream in enumerate(
-            re.findall(rb"stream\n(.*?)\nendstream", pdf, re.DOTALL), start=1):
-        # walk operators in order, tracking current font size
+    for page_num, stream in enumerate(_iter_streams(pdf), start=1):
+        if stream is None:  # corrupt page: contained, numbering preserved
+            continue
         size = 12.0
-        pos = 0
-        token_re = re.compile(
-            rb"(/F\d+ [0-9.]+ Tf)|(1 0 0 1 [0-9.+-]+ [0-9.+-]+ Tm\s*\((?:[^()\\]|\\.)*\) Tj)")
-        for m in token_re.finditer(stream):
-            if m.group(1):
+        cx, cy = 0.0, 0.0  # current text position (PDF bottom-up coords)
+        for m in _TOKEN_RE.finditer(stream):
+            if m.group(1):  # Tf
                 size = float(_SIZE_RE.match(m.group(1)).group(1))
-            else:
-                tm = _TM_RE.match(m.group(2))
-                x, y_pdf, raw = float(tm.group(1)), float(tm.group(2)), tm.group(3)
+            elif m.group(2) is not None:  # Tm (absolute)
+                cx, cy = float(m.group(2)), float(m.group(3))
+            elif m.group(4) is not None:  # Td (relative)
+                cx, cy = cx + float(m.group(4)), cy + float(m.group(5))
+            elif m.group(6) is not None:  # Tj
                 lines.append({
-                    "text": _unescape(raw),
-                    "x": x,
-                    "y": PAGE_H - y_pdf,  # top-down
+                    "text": _unescape(m.group(6)),
+                    "x": cx,
+                    "y": PAGE_H - cy,  # top-down
                     "page": page_num,
                     "font_size": size,
                 })
-        del pos
+            else:  # BT — reset the text cursor
+                cx, cy = 0.0, 0.0
     lines.sort(key=lambda ln: (ln["page"], int(ln["y"] // 50), ln["x"]))
     return lines
 
 
 def extract_pdf(pdf: bytes) -> dict:
-    """Full extraction for a PDF page: title + reading-order raw text.
+    """Full extraction for a PDF document: title + reading-order raw text.
 
     Title heuristic mirrors the reference's style-estimator role rule
     (extract/pdf_style_extractor.py:192-258: near-top + large font -> title):
@@ -126,7 +210,9 @@ def extract_pdf(pdf: bytes) -> dict:
             title = ln["text"]
             break
     raw_text = "\n".join(ln["text"] for ln in lines if ln["text"])  # orchestrator.py:780
-    return {"title": title, "lines": lines, "raw_text": raw_text, "tables": []}
+    n_pages = max((ln["page"] for ln in lines), default=1)
+    return {"title": title, "lines": lines, "raw_text": raw_text,
+            "tables": [], "n_pages": n_pages}
 
 
 def sniff_type(data: bytes) -> str:

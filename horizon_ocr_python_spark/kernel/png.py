@@ -60,7 +60,10 @@ def _unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
         elif ftype == 1:  # Sub
             rec = line
             for x in range(channels, stride):
-                rec[x] = (rec[x] + rec[x - channels]) & 0xFF
+                # int cast avoids numpy uint8-overflow RuntimeWarning spam
+                # (result was already correct via & 0xFF, but executor logs
+                # at scale would drown in warnings)
+                rec[x] = (int(rec[x]) + int(rec[x - channels])) & 0xFF
         elif ftype == 2:  # Up
             rec = (line.astype(np.int16) + prev).astype(np.uint8)
         elif ftype == 3:  # Average

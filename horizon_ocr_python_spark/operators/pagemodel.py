@@ -1,0 +1,196 @@
+"""Dataset-level operators for the multi-page document model (S1) and
+spatial anchoring position algebra (K9 strategy 3), plus the exploded
+candidates[] roundtrip (the nested Field schema's dataset form).
+
+All pure Catalyst expressions — explode/slice/window — no Python in the hot
+path; each has an exact DuckDB oracle.
+
+Scale notes:
+- s1_page_fanout: fan-out operators inherit scan splits; callers at real
+  scale should rebalance before exploding (the engine does, see
+  operators/dedup.py:35-40). Page stats are computed per exploded row
+  (narrow), the only shuffle is the final sort (oracle determinism only —
+  production omits it).
+- k9_substring_span: word positions via a cumulative-sum window partitioned
+  by doc_id — shuffle is one row per word bounded by the 12-word line cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import table
+
+PAGE_TOKENS = 40  # tokens per synthesized page
+
+
+def s1_page_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 page fan-out (reference per-page loop, orchestrator.py:497-513):
+    documents -> pages[] explode -> per-page stats -> doc-level rollup
+    columns. Pages are synthesized deterministically: 40 tokens per page."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("tokens"))
+    toks = toks.select(
+        "doc_id", "tokens",
+        F.size("tokens").alias("n_tokens_total"),
+        F.ceil(F.size("tokens") / float(PAGE_TOKENS)).cast("int").alias("page_count"))
+    pages = toks.select(
+        "doc_id", "tokens", "n_tokens_total", "page_count",
+        F.explode(F.sequence(F.lit(1), F.col("page_count"))).alias("page"))
+    page_toks = F.slice(F.col("tokens"),
+                        (F.col("page") - 1) * PAGE_TOKENS + 1, PAGE_TOKENS)
+    return (pages.select(
+        "doc_id", "page",
+        F.size(page_toks).alias("n_page_tokens"),
+        F.length(F.array_join(page_toks, " ")).alias("n_page_chars"),
+        "page_count", "n_tokens_total")
+        .orderBy("doc_id", "page"))
+
+
+S1_PAGE_FANOUT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), sized AS (
+  SELECT doc_id, tokens,
+         CAST(len(tokens) AS BIGINT) AS n_tokens_total,
+         CAST(ceil(len(tokens) / {PAGE_TOKENS}.0) AS INT) AS page_count
+  FROM toks
+), pages AS (
+  SELECT doc_id, tokens, n_tokens_total, page_count,
+         unnest(generate_series(1, page_count)) AS page
+  FROM sized
+)
+SELECT doc_id, CAST(page AS INT) AS page,
+       CAST(len(tokens[(page-1)*{PAGE_TOKENS}+1 :
+                       least(page*{PAGE_TOKENS}, len(tokens))]) AS INT)
+         AS n_page_tokens,
+       CAST(length(array_to_string(
+           tokens[(page-1)*{PAGE_TOKENS}+1 :
+                  least(page*{PAGE_TOKENS}, len(tokens))], ' ')) AS INT)
+         AS n_page_chars,
+       page_count, n_tokens_total
+FROM pages
+ORDER BY doc_id, page
+"""
+
+
+def fields_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nested candidates[] roundtrip (types.py:201-209 Candidate /
+    220-236 Field.candidates): build per-group candidate arrays with
+    collect_list(struct(...)), explode them back with inline(), aggregate.
+    Proves the array<struct> path produces exact values end to end."""
+    docs = table(spark, sf_dir, "documents")
+    cands = docs.select(
+        F.col("lang").alias("grp"),
+        F.struct(F.col("source"),
+                 F.round(F.col("n_chars") / 1000.0, 4).alias("confidence")).alias("c"))
+    fields = cands.groupBy("grp").agg(
+        F.sort_array(F.collect_list("c")).alias("candidates"))
+    exploded = fields.select("grp", F.inline("candidates"))
+    return (exploded.groupBy("grp", "source")
+            .agg(F.count("*").alias("n_cands"),
+                 F.round(F.sum("confidence"), 4).alias("total_conf"),
+                 F.round(F.max("confidence"), 4).alias("best_conf"))
+            .orderBy("grp", "source"))
+
+
+FIELDS_CANDIDATES_SQL = """
+SELECT lang AS grp, source,
+       COUNT(*) AS n_cands,
+       ROUND(SUM(ROUND(n_chars/1000.0, 4)), 4) AS total_conf,
+       ROUND(MAX(ROUND(n_chars/1000.0, 4)), 4) AS best_conf
+FROM documents
+GROUP BY lang, source
+ORDER BY grp, source
+"""
+
+
+LINE_WORDS = 12  # words per synthesized line
+SPAN_START, SPAN_LEN = 4, 3  # the field value = words 4..6 of the line
+
+
+def k9_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 anchoring strategy 3 (orchestrator.py:1259-1281) as position
+    algebra: find the field value's first occurrence in the line (instr),
+    compute per-word char spans via a cumulative-sum window, keep words
+    overlapping the matched span, merge their boxes (min start / max end).
+
+    Substrate: line = first 12 non-empty tokens of each document; field
+    value = tokens 4..6 — the value genuinely occurs mid-line, and repeated
+    tokens make first-occurrence semantics observable."""
+    docs = table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        F.slice(F.filter(F.split(F.col("text"), " "), lambda x: x != ""),
+                1, LINE_WORDS).alias("toks"))
+    lines = (lines.filter(F.size("toks") >= LINE_WORDS)
+             .select("doc_id",
+                     F.array_join(F.col("toks"), " ").alias("line"),
+                     F.array_join(F.slice(F.col("toks"), SPAN_START, SPAN_LEN),
+                                  " ").alias("value"),
+                     "toks"))
+    words = lines.select(
+        "doc_id", "line", "value",
+        F.posexplode(F.col("toks")).alias("pos", "w"))
+    # word i occupies 1-based chars [wstart+1, wstart+len(w)] where wstart =
+    # sum of (len+1) over prior words
+    cum = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    words = words.withColumn(
+        "wstart",
+        F.coalesce(F.sum(F.length("w") + 1).over(cum), F.lit(0)).cast("int"))
+    mstart = F.expr("instr(line, value)")  # 1-based, always > 0
+    overlap = ((F.col("wstart") + 1 < mstart + F.length("value")) &
+               (F.col("wstart") + F.length("w") + 1 > mstart))
+    return (words.withColumn("mstart", mstart.cast("int"))
+            .filter(overlap)
+            .groupBy("doc_id", "value", "mstart")
+            .agg(F.min(F.col("wstart") + 1).alias("x1"),
+                 F.max(F.col("wstart") + F.length("w")).alias("x2"),
+                 F.count("*").alias("n_span_words"))
+            .orderBy("doc_id"))
+
+
+K9_SUBSTRING_SPAN_SQL = f"""
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '')[1:{LINE_WORDS}] AS toks
+  FROM documents
+), ok AS (
+  SELECT doc_id,
+         array_to_string(toks, ' ') AS line,
+         array_to_string(toks[{SPAN_START}:{SPAN_START + SPAN_LEN - 1}], ' ') AS value,
+         toks
+  FROM lines
+  WHERE len(toks) >= {LINE_WORDS}
+), words AS (
+  -- parallel unnests zip positionally in DuckDB (no WITH ORDINALITY there)
+  SELECT doc_id, line, value,
+         unnest(toks) AS w,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM ok
+), spans AS (
+  SELECT doc_id, line, value, w,
+         CAST(COALESCE(SUM(length(w) + 1) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+           AS wstart,
+         CAST(strpos(line, value) AS INT) AS mstart
+  FROM words
+)
+SELECT doc_id, value, mstart,
+       CAST(MIN(wstart + 1) AS INT) AS x1,
+       CAST(MAX(wstart + length(w)) AS INT) AS x2,
+       COUNT(*) AS n_span_words
+FROM spans
+WHERE wstart + 1 < mstart + length(value)
+  AND wstart + length(w) + 1 > mstart
+GROUP BY doc_id, value, mstart
+ORDER BY doc_id
+"""

@@ -115,17 +115,25 @@ def make_page(i: int, seed: int = 42, n_hosts: int = 50, scale: int = 1) -> dict
         title = ""
         expected_fields = {}
     elif kind == "pdf":
-        pdf_lines = [(72.0, 72.0, title, 24.0)]
+        # ~half the PDFs are long documents that paginate -> multi-page
+        # fan-out is exercised by entry()'s byte-identity gate (S1)
+        if rng.random() < 0.5:
+            paras = paras + [_sentence(rng, rng.randint(8, 25))
+                             for _ in range(rng.randint(15, 30))]
+        pages_lines: list[list[tuple]] = [[(72.0, 72.0, title, 24.0)]]
         y = 120.0
-        for para in paras:
-            pdf_lines.append((72.0, y, para, 12.0))
+        for text_line in paras + kv_lines:
+            if y > 720.0:  # bottom margin -> new page, top margin
+                pages_lines.append([])
+                y = 72.0
+            pages_lines[-1].append((72.0, y, text_line, 12.0))
             y += 30.0
-        for kv in kv_lines:
-            pdf_lines.append((72.0, y, kv, 12.0))
-            y += 30.0
-        payload = pdf_text.build_pdf(pdf_lines)
-        # expected reading order: (y-band, x); all lines share x=72 and are
-        # 30px apart (some share a 50px band but insertion order is stable)
+        # compression / positioning-operator variety: FlateDecode streams and
+        # Td-relative positioning both round-trip byte-identically
+        payload = pdf_text.build_pdf_pages(
+            pages_lines, compress=rng.random() < 0.5, use_td=rng.random() < 0.3)
+        # expected reading order: (page, y-band, x); lines are appended
+        # top-down per page so insertion order == reading order
         expected_text = "\n".join([title] + paras + kv_lines)
     else:
         nav_items = "".join(
