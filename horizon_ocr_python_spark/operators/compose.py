@@ -1,15 +1,22 @@
 """Composed end-to-end operators: the training-pipeline flows built from the
 primitive operators, each still DuckDB-oracle-exact.
 
-- embedding_cosine_pairs: embedding-space near-dup candidate pairs (the
-  "embedding-cosine near-dup" dedup family member). Brute-force pair join
-  at oracle scale; the production path blocks by similarity.lsh_bucket_ann
-  buckets first. Threshold 0.45 chosen from the data (max pairwise cosine
-  in the driver corpus is 0.51 — a 0.95 "true dup" threshold would be
-  vacuously empty).
-- neardup_verdict: the full dedup flow composed — block -> word-set
-  jaccard >= 0.9 -> canonical survivor (min doc_id per duplicate cluster) ->
-  per-document keep/drop verdict. One row per document.
+- embedding_cosine_pairs: embedding-space near-dup pairs (the
+  "embedding-cosine near-dup" dedup family member), routed through the
+  banded random-hyperplane LSH buckets (similarity.banded_keys): candidate
+  pairs come from an EQUI self-join on band_key — never a cartesian — and
+  exact cosine runs only within candidates. The oracle mirrors the banded
+  semantics, so the hash check is recall-independent; measured recall vs
+  brute force at sf0.01 is 9/14 at the demo threshold 0.45 (the corpus is
+  isotropic random, LSH's worst case; at the production near-dup threshold
+  0.9 the same banding gives ~0.98 theoretical and 1.0 measured recall —
+  tests/test_similarity_recall.py). Threshold 0.45 chosen from the data
+  (max pairwise cosine in the driver corpus is 0.51 — a 0.95 "true dup"
+  threshold would be vacuously empty).
+- neardup_verdict: the full dedup flow composed — minhash-band candidates
+  (linear per bucket) -> word-set jaccard >= 0.9 verification -> connected
+  components -> canonical survivor (component min doc_id) -> per-document
+  keep/drop verdict. One row per document.
 - supplier_region_rollup: full star-schema coverage (supplier-nation-region
   broadcast join chain + aggregation).
 """
@@ -20,37 +27,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import table
-from .similarity import _dot, _dvec, _sqnorm
+from .dedup import MAX_BAND_BUCKET, SIG_BANDS_CTE
+from .similarity import BANDED_CTE, _dot, _dvec, _sqnorm, banded_keys
 
 COSINE_PAIR_THRESHOLD = 0.45
 
 
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All vector pairs with cosine >= 0.45, exact. vec_id < vec_id halves
-    the pair space; rounding to 4dp for cross-engine float stability."""
+    """Near-dup vector pairs with cosine >= 0.45 among banded-LSH candidate
+    pairs. Plan shape: equi self-join on band_key -> distinct (ia, ib) ->
+    two equi joins to fetch vectors -> exact cosine. No non-equi join, no
+    BroadcastNestedLoopJoin (pinned by tests/test_plan_shape.py)."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("v"))
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    keys = banded_keys(emb)
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("ia"),
+                    F.col("b.vec_id").alias("ib"))
+            .distinct())
+    va = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
     sim = F.round(
         _dot(F.col("va"), F.col("vb"))
         / (F.sqrt(_sqnorm(F.col("va"))) * F.sqrt(_sqnorm(F.col("vb")))), 4)
-    return (a.join(b, F.col("ia") < F.col("ib"))
+    return (cand.join(va, "ia").join(vb, "ib")
             .select("ia", "ib", sim.alias("cos_sim"))
             .filter(F.col("cos_sim") >= COSINE_PAIR_THRESHOLD)
             .orderBy("ia", "ib"))
 
 
 EMBEDDING_COSINE_PAIRS_SQL = f"""
-WITH emb AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+WITH {BANDED_CTE},
+cand AS (
+  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.vec_id < b.vec_id
 ), pairs AS (
-  SELECT a.vec_id AS ia, b.vec_id AS ib,
+  SELECT cand.ia, cand.ib,
     round(
       list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
       / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
          * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4) AS cos_sim
-  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  FROM cand JOIN emb a ON a.vec_id = cand.ia
+            JOIN emb b ON b.vec_id = cand.ib
 )
 SELECT ia, ib, cos_sim FROM pairs
 WHERE cos_sim >= {COSINE_PAIR_THRESHOLD}
@@ -58,59 +79,159 @@ ORDER BY ia, ib
 """
 
 
+NEIGHBOR_WIDTH = 4  # sorted-neighborhood links per member in giant buckets
+CC_MAX_ITER = 30    # hash-to-min + pointer jumping: O(log n) in practice
+
+
+def _cc_labels(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Connected components by iterative min-label propagation: per round,
+    every node takes min(own label, neighbors' labels, label-of-label)
+    (hash-to-min + pointer jumping -> O(log n) rounds), to fixpoint.
+
+    This is the standard large-scale CC shape — each round is one equi-join
+    + map-side-combined min aggregate; lineage is truncated per round with
+    localCheckpoint so the plan stays O(1) deep. Returns (doc_id, label)
+    where label = min doc_id of the component."""
+    sym = (edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+           .unionByName(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
+           .distinct().localCheckpoint())
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")) \
+        .localCheckpoint()
+    for _ in range(CC_MAX_ITER):
+        nbr = (sym.join(labels.withColumnRenamed("doc_id", "y"), "y")
+               .groupBy("x").agg(F.min("label").alias("nbr_label"))
+               .withColumnRenamed("x", "doc_id"))
+        relaxed = (labels.join(nbr, "doc_id", "left")
+                   .select("doc_id",
+                           F.least("label", F.coalesce("nbr_label", "label"))
+                           .alias("label")))
+        # pointer jump: label <- label(label)
+        jump = relaxed.select(F.col("doc_id").alias("label"),
+                              F.col("label").alias("label2"))
+        new = (relaxed.join(jump, "label", "left")
+               .select("doc_id",
+                       F.least("label", F.coalesce("label2", "label"))
+                       .alias("label"))
+               .localCheckpoint())
+        changed = (new.join(labels.withColumnRenamed("label", "old"), "doc_id")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 def neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document dedup verdict: the composed flow
-    block (first-5-words) -> word-set jaccard >= 0.9 -> duplicate clusters
-    -> canonical survivor = min doc_id -> keep/drop per doc.
+    minhash-band candidates -> word-set jaccard >= 0.9 verification ->
+    connected components -> canonical survivor = component min doc_id.
 
-    Cluster formation uses the canonical-anchor rule (every duplicate maps
-    to the smallest doc_id it pairs with), the standard scalable
-    approximation of connected components for near-dup graphs.
-    """
+    Candidate edges stay LINEAR in every bucket:
+    - buckets <= MAX_BAND_BUCKET: exhaustive within-bucket pairs;
+    - giant buckets (dup clusters / degenerate bands): sorted-neighborhood
+      links — each member links to its next NEIGHBOR_WIDTH successors by
+      doc_id within the bucket, members*W edges instead of members^2/2.
+    j >= 0.9 is not transitive, so a verified-edge CC closure (not a
+    single-hop anchor) forms the clusters; canonical = component min.
+    Measured at sf0.01 vs brute force: 202/222 true duplicates flagged
+    (91% recall) from 5.4k candidate edges vs 125k brute pairs; the DuckDB
+    oracle mirrors the exact semantics (recursive-CTE closure), so the
+    hash gate is recall-independent."""
+    from pyspark.sql.window import Window
+
+    from .dedup import band_keys_from, minhash_signatures_from
+
     docs = table(spark, sf_dir, "documents")
-    prepped = docs.select(
+    # materialize once: the keys feed the census + both bucket branches
+    keys = band_keys_from(minhash_signatures_from(docs)).localCheckpoint()
+    counts = keys.groupBy("band_key").agg(F.count("*").alias("n"))
+    keyed = keys.join(F.broadcast(counts), "band_key")
+
+    small = keyed.filter(F.col("n") <= MAX_BAND_BUCKET).select("band_key", "doc_id")
+    sa, sb = small.alias("sa"), small.alias("sb")
+    small_pairs = (sa.join(sb, (F.col("sa.band_key") == F.col("sb.band_key"))
+                           & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+                   .select(F.col("sa.doc_id").alias("a"),
+                           F.col("sb.doc_id").alias("b")))
+
+    big = keyed.filter(F.col("n") > MAX_BAND_BUCKET).select("band_key", "doc_id")
+    w = Window.partitionBy("band_key").orderBy("doc_id")
+    ranked = big.withColumn("rn", F.row_number().over(w))
+    targets = ranked.select(
+        "band_key", F.col("doc_id").alias("a"),
+        F.explode(F.array(*[F.col("rn") + d
+                            for d in range(1, NEIGHBOR_WIDTH + 1)])).alias("rn"))
+    big_pairs = (targets.join(ranked.select("band_key", "rn",
+                                            F.col("doc_id").alias("b")),
+                              ["band_key", "rn"])
+                 .select("a", "b"))
+
+    cand = small_pairs.unionByName(big_pairs).distinct()
+
+    ws = docs.select(
         "doc_id",
         F.array_distinct(F.filter(F.split(F.lower(F.col("text")), " "),
-                                  lambda x: x != "")).alias("ws"),
-        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)).alias("blk"))
-    a, b = prepped.alias("a"), prepped.alias("b")
-    jac = (F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws"))).cast("double")
-           / F.size(F.array_union(F.col("a.ws"), F.col("b.ws"))))
-    pairs = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("keep_id"),
-                     F.col("b.doc_id").alias("dup_id"),
-                     F.round(jac, 6).alias("j"))
-             .filter(F.col("j") >= 0.9))
-    anchor = pairs.groupBy("dup_id").agg(F.min("keep_id").alias("canonical_id"))
-    return (docs.select("doc_id")
-            .join(anchor, docs.doc_id == anchor.dup_id, "left")
-            .select("doc_id",
-                    F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
-                    F.col("canonical_id").isNotNull().alias("is_duplicate"))
+                                  lambda x: x != "")).alias("ws"))
+    wa = ws.select(F.col("doc_id").alias("a"), F.col("ws").alias("ws_a"))
+    wb = ws.select(F.col("doc_id").alias("b"), F.col("ws").alias("ws_b"))
+    jac = (F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b"))).cast("double")
+           / F.size(F.array_union(F.col("ws_a"), F.col("ws_b"))))
+    verified = (cand.join(wa, "a").join(wb, "b")
+                .select("a", "b", F.round(jac, 6).alias("j"))
+                .filter(F.col("j") >= 0.9).select("a", "b"))
+
+    labels = _cc_labels(verified, docs.select("doc_id"))
+    return (labels.select("doc_id",
+                          F.col("label").alias("canonical_id"),
+                          (F.col("label") != F.col("doc_id")).alias("is_duplicate"))
             .orderBy("doc_id"))
 
 
-NEARDUP_VERDICT_SQL = """
-WITH prepped AS (
+NEARDUP_VERDICT_SQL = f"""
+WITH RECURSIVE {SIG_BANDS_CTE},
+counts AS (SELECT band_key, count(*) AS n FROM bands GROUP BY band_key),
+small_pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.band_key IN (SELECT band_key FROM counts WHERE n <= {MAX_BAND_BUCKET})
+), ranked AS (
+  SELECT band_key, doc_id,
+         row_number() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn
+  FROM bands
+  WHERE band_key IN (SELECT band_key FROM counts WHERE n > {MAX_BAND_BUCKET})
+), big_pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM ranked a JOIN ranked b
+    ON a.band_key = b.band_key
+   AND b.rn BETWEEN a.rn + 1 AND a.rn + {NEIGHBOR_WIDTH}
+), cand AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM small_pairs UNION ALL SELECT a, b FROM big_pairs)
+), prepped AS (
   SELECT doc_id,
          list_distinct(list_filter(string_split(lower(text), ' '),
-                                   x -> x <> '')) AS ws,
-         array_to_string(string_split(text, ' ')[1:5], ' ') AS blk
+                                   x -> x <> '')) AS ws
   FROM documents
-), pairs AS (
-  SELECT a.doc_id AS keep_id, b.doc_id AS dup_id,
-         round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS j
-  FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.doc_id < b.doc_id
-), anchor AS (
-  SELECT dup_id, min(keep_id) AS canonical_id
-  FROM pairs WHERE j >= 0.9 GROUP BY dup_id
+), verified AS (
+  SELECT cand.a, cand.b
+  FROM cand JOIN prepped pa ON pa.doc_id = cand.a
+            JOIN prepped pb ON pb.doc_id = cand.b
+  WHERE round(CAST(len(list_intersect(pa.ws, pb.ws)) AS DOUBLE)
+              / len(list_distinct(list_concat(pa.ws, pb.ws))), 6) >= 0.9
+), sym AS (
+  SELECT a, b FROM verified UNION SELECT b, a FROM verified
+), reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+), canon AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+  FROM reach GROUP BY src
 )
 SELECT d.doc_id,
-       coalesce(a.canonical_id, d.doc_id) AS canonical_id,
-       a.canonical_id IS NOT NULL AS is_duplicate
-FROM documents d LEFT JOIN anchor a ON d.doc_id = a.dup_id
+       coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+       coalesce(c.canonical_id, d.doc_id) <> d.doc_id AS is_duplicate
+FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
 

@@ -7,10 +7,23 @@ oracle produce identical values. The distributed shapes:
 - minhash:   explode(words) x seeds -> min per (doc, seed); at 10^12 docs the
              explode is narrow and the min-agg combines map-side, so shuffle
              volume is n_docs * n_seeds tiny rows, not the corpus
-- LSH pairs: band-key self-join — the classic bucket join; band keys are
-             computed from the signature (no cross join ever materializes)
+- LSH pairs: band-key self-join — the classic bucket join; buckets larger
+             than MAX_BAND_BUCKET are excluded from pair generation (the
+             degenerate-band guard: a bucket that big is either hash
+             degeneracy or a true dup CLUSTER, and clusters are handled by
+             the O(members) anchor pattern in compose.neardup_verdict, not
+             by materializing the quadratic pair set)
 - simhash:   explode(words x 32 bits) -> signed vote per bit -> pack
-- jaccard:   blocked pair join (first-k-words block key) + array intersect
+- jaccard:   minhash-band blocked pair join + array intersect. The round-1
+             first-5-words block key was both skewed (boilerplate prefixes
+             collapse into one block) and low-recall (word-order sensitive);
+             minhash bands are already computed, order-insensitive, and
+             their collision probability is the similarity being measured.
+
+Parameterization: NUM_HASHES/BANDS stay oracle-small (8/2) for the driver
+tables; SCALE_PROFILE carries the production constants (128 permutations,
+16 bands x 8 rows — P(catch | j=0.9) = 1-(1-0.9^8)^16 ~= 0.9996). The same
+code runs both (tests/test_dedup_scale_profile.py).
 
 Reference parity note: the reference's only dedup is exact content-hash
 upload dedup (web/app.py, tests/test_io.py:259-288) = `exact_dedup` here;
@@ -26,6 +39,9 @@ from . import table
 
 NUM_HASHES = 8
 BANDS = 2  # 4 rows per band
+MAX_BAND_BUCKET = 64  # pair-generation cap per band bucket
+
+SCALE_PROFILE = {"num_hashes": 128, "bands": 16, "max_band_bucket": 5000}
 
 
 def _words(col):
@@ -67,26 +83,33 @@ ORDER BY canonical_doc_id
 # --- MinHash signatures --------------------------------------------------------
 
 
-def _minhash_long(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, seed, minhash) long-form: explode words, cross the tiny seed
-    range (broadcast — 8 rows), min-agg. Map-side combine keeps the shuffle
-    at n_docs x n_seeds rows regardless of corpus size."""
-    docs = _rebalanced(table(spark, sf_dir, "documents"))
-    words = docs.select(
+def minhash_long_from(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, seed, minhash) long-form from a (doc_id, text) DataFrame:
+    explode words, cross the tiny seed range (broadcast), min-agg. Map-side
+    combine keeps the shuffle at n_docs x n_seeds rows regardless of corpus
+    size."""
+    spark = docs.sparkSession
+    words = _rebalanced(docs).select(
         "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w"))
-    seeds = spark.range(NUM_HASHES).toDF("seed")
+    seeds = spark.range(num_hashes).toDF("seed")
     return (words.crossJoin(F.broadcast(seeds))
             .groupBy("doc_id", "seed")
             .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("w"))))
                  .alias("mh")))
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide signature: one row per doc, sig_0..sig_7."""
-    long = _minhash_long(spark, sf_dir)
+def minhash_signatures_from(docs: DataFrame,
+                            num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Wide signature: one row per doc, sig_0..sig_{n-1}."""
+    long = minhash_long_from(docs, num_hashes)
     aggs = [F.min(F.when(F.col("seed") == i, F.col("mh"))).alias(f"sig_{i}")
-            for i in range(NUM_HASHES)]
-    return long.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+            for i in range(num_hashes)]
+    return long.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (minhash_signatures_from(table(spark, sf_dir, "documents"))
+            .orderBy("doc_id"))
 
 
 MINHASH_SIGNATURES_SQL = f"""
@@ -108,23 +131,49 @@ ORDER BY doc_id
 """
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band key (band = md5 of 4 joined
-    signature rows). Self-join on the band key — the only shuffle is by
-    band_key, and bucket sizes are the natural skew bound."""
-    sig = minhash_signatures(spark, sf_dir)
-    rows_per_band = NUM_HASHES // BANDS
-    bands = []
-    for b in range(BANDS):
+def band_keys_from(sig: DataFrame, num_hashes: int = NUM_HASHES,
+                   bands: int = BANDS) -> DataFrame:
+    """(doc_id, band_key) — band = md5 of `num_hashes/bands` joined
+    signature rows, prefixed with the band index."""
+    rows_per_band = num_hashes // bands
+    parts = []
+    for b in range(bands):
         cols = [F.col(f"sig_{i}") for i in range(b * rows_per_band,
                                                  (b + 1) * rows_per_band)]
-        bands.append(sig.select(
+        parts.append(sig.select(
             "doc_id",
             F.concat(F.lit(f"{b}:"), F.md5(F.concat_ws("|", *cols))).alias("band_key")))
-    all_bands = bands[0]
-    for extra in bands[1:]:
-        all_bands = all_bands.unionByName(extra)
-    a, b_ = all_bands.alias("a"), all_bands.alias("b")
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def capped_band_keys_from(sig: DataFrame, num_hashes: int = NUM_HASHES,
+                          bands: int = BANDS,
+                          max_bucket: int = MAX_BAND_BUCKET) -> DataFrame:
+    """Band keys with the degenerate-bucket guard: buckets holding more
+    than `max_bucket` docs are dropped BEFORE the self-join, bounding any
+    band's pair contribution at max_bucket^2/2. The bucket census is one
+    map-side-combined aggregate; at 10^12 docs it is small enough to
+    broadcast back."""
+    # materialize the keys once: they feed both the census and the join
+    # (without this the whole minhash pipeline runs twice)
+    keys = band_keys_from(sig, num_hashes, bands).localCheckpoint()
+    counts = keys.groupBy("band_key").agg(F.count("*").alias("n"))
+    ok = counts.filter(F.col("n") <= max_bucket).select("band_key")
+    return keys.join(F.broadcast(ok), "band_key")
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band key. Self-join on the
+    band key — the only shuffle is by band_key. Buckets above
+    MAX_BAND_BUCKET are excluded (see module docstring): they are dup
+    clusters or degenerate bands, and their quadratic pair sets are exactly
+    what kills this operator at 100 TB."""
+    sig = minhash_signatures_from(table(spark, sf_dir, "documents"))
+    keys = capped_band_keys_from(sig)
+    a, b_ = keys.alias("a"), keys.alias("b")
     return (a.join(b_, (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
@@ -133,19 +182,27 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_a", "doc_b"))
 
 
-_BAND_KEYS_CTE = f"""
+# sig + bands CTEs (uncapped — shared with compose.neardup_verdict's SQL)
+SIG_BANDS_CTE = f"""
 sig AS ({MINHASH_SIGNATURES_SQL.replace("ORDER BY doc_id", "")}),
 bands AS (
   SELECT doc_id, '0:' || md5(sig_0||'|'||sig_1||'|'||sig_2||'|'||sig_3) AS band_key FROM sig
   UNION ALL
   SELECT doc_id, '1:' || md5(sig_4||'|'||sig_5||'|'||sig_6||'|'||sig_7) AS band_key FROM sig
+)"""
+
+_BAND_KEYS_CTE = f"""{SIG_BANDS_CTE},
+capped AS (
+  SELECT doc_id, band_key FROM bands
+  WHERE band_key IN (SELECT band_key FROM bands
+                     GROUP BY band_key HAVING count(*) <= {MAX_BAND_BUCKET})
 )
 """
 
 MINHASH_LSH_PAIRS_SQL = f"""
 WITH {_BAND_KEYS_CTE}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+FROM capped a JOIN capped b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """
 
@@ -206,40 +263,57 @@ ORDER BY doc_id
 # --- n-gram (word-set) Jaccard pairs ---------------------------------------------
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word-set Jaccard >= 0.9, blocked on the first five
-    words (blocking turns the quadratic pair space into per-block joins —
-    the standard scale pattern; recall is traded explicitly and the block
-    key is cheap to widen)."""
-    docs = table(spark, sf_dir, "documents")
-    prepped = docs.select(
-        "doc_id",
-        F.array_distinct(_words(F.col("text"))).alias("ws"),
-        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)).alias("blk"))
-    a, b = prepped.alias("a"), prepped.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
-    union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws")))
-    jac = inter.cast("double") / union
-    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+def jaccard_pairs_from(docs: DataFrame, num_hashes: int = NUM_HASHES,
+                       bands: int = BANDS,
+                       max_bucket: int = MAX_BAND_BUCKET,
+                       threshold: float = 0.9) -> DataFrame:
+    """Word-set Jaccard >= threshold over minhash-band-blocked candidates.
+    The block key is order-insensitive and its collision probability IS the
+    similarity being measured — no boilerplate-prefix skew, and the bucket
+    cap bounds the worst block at max_bucket^2/2 pairs."""
+    sig = minhash_signatures_from(docs, num_hashes)
+    keys = capped_band_keys_from(sig, num_hashes, bands, max_bucket)
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.round(jac, 6).alias("jaccard"))
-            .filter(F.col("jaccard") >= 0.9)
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    ws = docs.select("doc_id", F.array_distinct(_words(F.col("text"))).alias("ws"))
+    wa = ws.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    wb = ws.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+    union = F.size(F.array_union(F.col("ws_a"), F.col("ws_b")))
+    jac = inter.cast("double") / union
+    return (cand.join(wa, "doc_a").join(wb, "doc_b")
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-set Jaccard >= 0.9, blocked on minhash bands
+    with the bucket cap (recall at sf0.01 vs brute force: the banding
+    catches 97% of true pairs; the cap then routes the two giant dup
+    clusters to the anchor form in compose.neardup_verdict)."""
+    return (jaccard_pairs_from(table(spark, sf_dir, "documents"))
             .orderBy("doc_a", "doc_b"))
 
 
-NGRAM_JACCARD_PAIRS_SQL = """
-WITH prepped AS (
+NGRAM_JACCARD_PAIRS_SQL = f"""
+WITH {_BAND_KEYS_CTE},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+), prepped AS (
   SELECT doc_id,
-         list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS ws,
-         array_to_string(string_split(text, ' ')[1:5], ' ') AS blk
+         list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS ws
   FROM documents
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT cand.doc_a, cand.doc_b,
        round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
              / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
-FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.doc_id < b.doc_id
+FROM cand JOIN prepped a ON a.doc_id = cand.doc_a
+          JOIN prepped b ON b.doc_id = cand.doc_b
 WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
             / len(list_distinct(list_concat(a.ws, b.ws))), 6) >= 0.9
 ORDER BY doc_a, doc_b

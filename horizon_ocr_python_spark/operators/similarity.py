@@ -13,6 +13,8 @@ on both sides.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -21,6 +23,66 @@ from . import table
 
 TOP_K = 3
 N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+# Banded random-hyperplane LSH (the scale path for pair generation and ANN).
+# 8 bands x 6 bits: at a production near-dup threshold (cos >= 0.9,
+# P(bit agree) = 1 - acos(0.9)/pi ~= 0.857) band recall = 0.857^6 ~= 0.40 and
+# total recall = 1 - (1-0.40)^8 ~= 0.98. The driver corpus is isotropic
+# random with max pairwise cos 0.51, the worst case for any LSH — measured
+# recall there is 9/14 pairs at the 0.45 demo threshold and 8/15 ANN top-3
+# hits (documented, see tests/test_similarity_recall.py); the oracle mirrors
+# the banded semantics exactly, so correctness is hash-checked independently
+# of recall.
+N_BANDS, N_BITS, DIM = 8, 6, 64
+
+
+def _hyperplane(band: int, bit: int) -> list[float]:
+    """Deterministic +-1 hyperplane per (band, bit): md5-seeded per
+    coordinate so Spark and DuckDB materialize the IDENTICAL literal vector
+    (data-independent — at scale this is a broadcast constant, here it
+    constant-folds into the plan)."""
+    return [1.0 if int(hashlib.md5(f"{band}:{bit}:{i}".encode())
+                       .hexdigest()[0], 16) % 2 == 0 else -1.0
+            for i in range(DIM)]
+
+
+def _band_key(vcol, band: int):
+    """Spark column: 'band:bitstring' sign-projection key."""
+    bits = []
+    for bit in range(N_BITS):
+        w = F.array(*[F.lit(x) for x in _hyperplane(band, bit)])
+        dot = F.aggregate(F.zip_with(vcol, w, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(F.lit(f"{band}:"), *bits)
+
+
+def banded_keys(emb: DataFrame) -> DataFrame:
+    """(vec_id, band_key) — one row per vector per band. Vectors are NOT
+    carried through the explode (they re-join by id after candidate dedup,
+    keeping the banding shuffle to key-sized rows)."""
+    keys = F.array(*[_band_key(F.col("v"), b) for b in range(N_BANDS)])
+    return emb.select("vec_id", F.explode(keys).alias("band_key"))
+
+
+def _band_key_sql(band: int) -> str:
+    bits = []
+    for bit in range(N_BITS):
+        arr = "[" + ",".join(f"{x:g}" for x in _hyperplane(band, bit)) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {DIM}+1), "
+            f"i -> v[i] * ({arr}::DOUBLE[])[i])) >= 0 THEN '1' ELSE '0' END)")
+    return f"'{band}:' || " + " || ".join(bits)
+
+
+# emb + banded CTEs shared by the banded-LSH oracle queries
+BANDED_CTE = (
+    "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+    "banded AS (\n  "
+    + "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {_band_key_sql(b)} AS band_key FROM emb"
+        for b in range(N_BANDS))
+    + "\n)")
 
 
 def _dvec(col):
@@ -152,4 +214,61 @@ SELECT b.vec_id, b.bucket, CAST(c.bucket_size - 1 AS BIGINT) AS n_candidates
 FROM bucketed b JOIN counts c USING (bucket)
 WHERE b.vec_id < {N_QUERIES}
 ORDER BY b.vec_id
+"""
+
+
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed ANN loop: banded-LSH bucket join -> exact cosine within
+    candidates -> top-k per query. Every join is an equi-join (band_key,
+    then vec_id) — no BroadcastNestedLoopJoin anywhere in the plan.
+
+    Measured at sf0.01 vs the exact `cosine_topk`: 8/15 top-3 hits on the
+    isotropic driver corpus (worst case for LSH); 15/15 on planted near-dup
+    clusters (tests/test_similarity_recall.py). Queries whose buckets hold
+    fewer than k candidates return fewer rows (no padding)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("v"))
+    keys = banded_keys(emb)
+    qk = keys.filter(F.col("vec_id") < N_QUERIES) \
+        .select(F.col("vec_id").alias("q_id"), "band_key")
+    ck = keys.filter(F.col("vec_id") >= N_QUERIES)
+    cand = qk.join(ck, "band_key").select("q_id", "vec_id").distinct()
+
+    qv = emb.filter(F.col("vec_id") < N_QUERIES) \
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    sim = F.round(
+        _dot(F.col("qv"), F.col("v"))
+        / (F.sqrt(_sqnorm(F.col("qv"))) * F.sqrt(_sqnorm(F.col("v")))), 4)
+    scored = (cand.join(F.broadcast(qv), "q_id").join(emb, "vec_id")
+              .select("q_id", "vec_id", sim.alias("sim")))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("q_id", "rank", "vec_id", "sim")
+            .orderBy("q_id", "rank"))
+
+
+LSH_ANN_TOPK_SQL = f"""
+WITH {BANDED_CTE},
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+  FROM banded q JOIN banded c ON q.band_key = c.band_key
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT cand.q_id, cand.vec_id,
+    round(
+      list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i]))
+      / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+         * sqrt(list_sum(list_transform(c.v, x -> x*x)))), 4) AS sim
+  FROM cand
+  JOIN emb q ON q.vec_id = cand.q_id
+  JOIN emb c ON c.vec_id = cand.vec_id
+)
+SELECT q_id, rank, vec_id, sim FROM (
+  SELECT q_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+              AS INT) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+ORDER BY q_id, rank
 """
