@@ -3,12 +3,13 @@ stubbed codecs.
 
 Design per the training-data-pipeline brief: media travel as opaque `binary`
 columns with a typed metadata struct; decode / feature-extract / resize /
-frame-sample run as Arrow-batched UDFs over mapInPandas. The decode step
-itself is STUBBED here (no cv2/PIL/ffmpeg in this container): `decode_image`
+frame-sample run as Arrow-batched UDFs over mapInPandas. PNG and baseline
+JPEG decode for REAL (kernel.png / kernel.jpeg, stdlib+numpy only); other
+formats (TIFF/WebP/BMP, progressive JPEG) stay stubbed: `decode_image`
 raises NotImplementedError unless `fake=True`, in which case it produces a
 deterministic fake decode whose metadata is parsed from real container
-headers (PNG IHDR / JPEG SOF0) — so schema, batch shape and partitioning are
-real and tested even though pixel decoding is not.
+headers (PNG IHDR / JPEG SOF0) — schema, batch shape and partitioning are
+real and tested either way.
 
 Reference analogue: io/image.py:49-148 (decode + EXIF orient) and
 io/image.py:150-185 (bytes/base64 ingest).
@@ -53,10 +54,12 @@ def decode_image(data: bytes, fake: bool = False) -> np.ndarray:
     """Decode image bytes to an HxWx3 BGR uint8 array (io/image.py:49-79).
 
     PNG (8-bit gray/RGB) decodes for REAL via the stdlib codec
-    (kernel.png — zlib inflate + scanline un-filtering). JPEG decode
-    remains stubbed (DCT decoding needs a real codec library): raises
-    NotImplementedError unless fake=True, which returns a deterministic
-    pseudo-image with the true header dimensions.
+    (kernel.png — zlib inflate + scanline un-filtering). Baseline JPEG
+    decodes for REAL via kernel.jpeg (pure numpy huffman + IDCT) —
+    progressive/arithmetic JPEGs raise NotImplementedError, contained
+    upstream as an error/metadata-only row. Other formats (TIFF/WebP/BMP)
+    stay stubbed: raise NotImplementedError unless fake=True, which returns
+    a deterministic pseudo-image with the true header dimensions.
     """
     if not fake:
         meta = parse_image_meta(data)
@@ -66,6 +69,11 @@ def decode_image(data: bytes, fake: bool = False) -> np.ndarray:
             rgb = decode_png(data)
             if rgb.ndim == 2:
                 rgb = np.stack([rgb] * 3, axis=-1)
+            return np.ascontiguousarray(rgb[..., ::-1])  # RGB -> BGR
+        if meta["format"] == "jpeg":
+            from .jpeg import decode_jpeg
+
+            rgb = decode_jpeg(data)
             return np.ascontiguousarray(rgb[..., ::-1])  # RGB -> BGR
         raise NotImplementedError(
             f"{meta['format']} decoding requires a codec library (not in "

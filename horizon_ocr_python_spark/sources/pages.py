@@ -103,14 +103,21 @@ def make_page(i: int, seed: int = 42, n_hosts: int = 50, scale: int = 1) -> dict
     }
 
     if kind == "image":
-        # a real PNG of the reference conftest's synthetic document shape
-        # (bars + rulings, conftest.py:23-43): decodes for real, but with no
-        # OCR weights the extracted text is empty — the reference's own
-        # no-weights behavior, so ground truth is the empty string
+        # a real image of the reference conftest's synthetic document shape
+        # (bars + rulings, conftest.py:23-43) — half PNG, half baseline JPEG
+        # (kernel.jpeg), matching the Common-Crawl payload mix. Both decode
+        # for real; with no OCR weights the extracted text is empty — the
+        # reference's own no-weights behavior, so ground truth is ""
         from . import _png_doc_image
 
         img = _png_doc_image.render(seed=(seed << 20) ^ i)
-        payload = _png_doc_image.encode(img)
+        if rng.random() < 0.5:
+            from ..kernel.jpeg import encode_jpeg
+
+            payload = encode_jpeg(img, quality=88,
+                                  subsample_420=rng.random() < 0.5)
+        else:
+            payload = _png_doc_image.encode(img)
         expected_text = ""
         title = ""
         expected_fields = {}

@@ -97,9 +97,13 @@ class TestMultimodalRealDecode:
         assert bgr.shape == (10, 12, 3)
         assert bgr[0, 0, 0] == 30 and bgr[0, 0, 2] == 10  # BGR order
 
-    def test_jpeg_still_stubbed(self):
-        with pytest.raises(NotImplementedError):
+    def test_jpeg_decodes_for_real_now(self):
+        # malformed JPEG -> clean error (not a stub any more: kernel.jpeg)
+        with pytest.raises(ValueError):
             M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+        # TIFF/WebP remain declared stubs
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"II*\x00" + b"\x00" * 32)
 
     def test_gray_png_promoted_to_bgr(self):
         img = np.full((6, 6), 77, dtype=np.uint8)

@@ -121,8 +121,8 @@ class TestMultimodal:
         # malformed PNG: real decoder raises a ValueError (not a crash class)
         with pytest.raises(Exception):
             M.decode_image(b"\x89PNG\r\n\x1a\n" + b"0" * 24)
-        # JPEG remains a declared stub
-        with pytest.raises(NotImplementedError):
+        # malformed JPEG: real decoder (kernel.jpeg) raises cleanly too
+        with pytest.raises(Exception):
             M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
     def test_fake_decode_deterministic(self):
