@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_page_fanout": pagemodel.s1_page_fanout,
         "fields_candidates": pagemodel.fields_candidates,
         "k9_substring_span": pagemodel.k9_substring_span,
+        "r6_style_merge": pagemodel.r6_style_merge,
         # composed end-to-end flows
         "embedding_cosine_pairs": compose.embedding_cosine_pairs,
         "neardup_verdict": compose.neardup_verdict,
@@ -177,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "s1_page_fanout": pagemodel.S1_PAGE_FANOUT_SQL,
         "fields_candidates": pagemodel.FIELDS_CANDIDATES_SQL,
         "k9_substring_span": pagemodel.K9_SUBSTRING_SPAN_SQL,
+        "r6_style_merge": pagemodel.R6_STYLE_MERGE_SQL,
         "embedding_cosine_pairs": compose.EMBEDDING_COSINE_PAIRS_SQL,
         "neardup_verdict": compose.NEARDUP_VERDICT_SQL,
         "supplier_region_rollup": compose.SUPPLIER_REGION_ROLLUP_SQL,

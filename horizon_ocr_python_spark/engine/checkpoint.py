@@ -53,11 +53,30 @@ def next_snapshot_id(root: str) -> int:
     return (max(s["snapshot_id"] for s in snaps) + 1) if snaps else 1
 
 
+def active_snapshots(root: str, as_of_snapshot: Optional[int] = None) -> list[dict]:
+    """The snapshots a reader must scan: the latest BASE (compaction)
+    snapshot plus everything after it. Without compaction this is the full
+    history; after each `compact()` it is 1 + (snapshots since) — the fix
+    for the steady-state read path replaying 1,000 incremental snapshots.
+
+    `as_of_snapshot` prunes first, so time travel reconstructs the table
+    exactly as it stood then (a base snapshot summarizes all ids <= its
+    own, so pruning within the as_of window stays exact)."""
+    snaps = committed_snapshots(root)
+    if as_of_snapshot is not None:
+        snaps = [s for s in snaps if s["snapshot_id"] <= as_of_snapshot]
+    base_idx = None
+    for i, s in enumerate(snaps):
+        if s.get("base"):
+            base_idx = i
+    return snaps if base_idx is None else snaps[base_idx:]
+
+
 def committed_keys(spark: SparkSession, root: str) -> Optional[DataFrame]:
-    """DataFrame of (url, content_key) across all committed snapshots, or
+    """DataFrame of (url, content_key) across the active snapshots, or
     None when no snapshot exists. Reads only the two key columns (parquet
     column pruning keeps this cheap even for wide document rows)."""
-    snaps = committed_snapshots(root)
+    snaps = active_snapshots(root)
     if not snaps:
         return None
     paths = [_snap_dir(root, s["snapshot_id"]) for s in snaps]
@@ -132,10 +151,12 @@ def read_table(spark: SparkSession, root: str,
 
     `as_of_snapshot` gives Iceberg-style time travel: reconstruct the table
     exactly as it stood after that snapshot committed.
+
+    Reads only the ACTIVE snapshots (latest base + tail) — after
+    compaction, steady-state reads scan a bounded number of snapshot dirs
+    however long the commit history grows.
     """
-    snaps = committed_snapshots(root)
-    if as_of_snapshot is not None:
-        snaps = [s for s in snaps if s["snapshot_id"] <= as_of_snapshot]
+    snaps = active_snapshots(root, as_of_snapshot)
     if not snaps:
         return None
     from pyspark.sql.window import Window
@@ -148,3 +169,18 @@ def read_table(spark: SparkSession, root: str,
     w = Window.partitionBy("url").orderBy(F.col("_snap").desc())
     return (dfs.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn", "_snap"))
+
+
+def compact(spark: SparkSession, root: str) -> Optional[int]:
+    """Rewrite the current latest-wins table state as a new BASE snapshot
+    (Iceberg's rewrite_data_files compaction, expressed in this module's
+    manifest protocol). History stays on disk, so time travel to any
+    pre-compaction snapshot keeps working; steady-state readers switch to
+    base + tail via `active_snapshots`. Returns the new snapshot id, or
+    None when there is nothing to compact."""
+    current = read_table(spark, root)
+    if current is None:
+        return None
+    last = committed_snapshots(root)[-1]["snapshot_id"]
+    return commit_snapshot(current, root,
+                           extra={"base": True, "compacted_through": last})

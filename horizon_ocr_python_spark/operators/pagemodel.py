@@ -111,6 +111,132 @@ ORDER BY grp, source
 """
 
 
+Y_TOL = 10.0  # R6 y tolerance (pdf_style_extractor.py:480)
+SPAN_VARIANTS = 3  # per-doc span variants in the synthesized substrate
+
+
+def r6_style_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 fuzzy style<->OCR merge (pdf_style_extractor.py:477-551) as
+    relational algebra, kernel semantics exactly (kernel.style_merge):
+    candidates within |dy| <= 10 AND |dx| <= 20 whose texts contain each
+    other; score = character-SET intersection size; best span wins, ties to
+    the lowest span index (strict > in the kernel loop); no match ->
+    estimated font size.
+
+    The y-tolerance join is expressed scalably: lines probe the 3 adjacent
+    y-grid buckets (bucket width = tolerance), spans join by bucket — an
+    EQUI join whose fan-in is bounded by local span density, never a
+    non-equi cross join.
+
+    Substrate: per doc, line = first 4 tokens at a position derived from
+    doc_id; spans = 3 variants (full/identical/offset text at increasing
+    offsets) so the tolerance cuts, the containment gate, the tie-break,
+    and the estimated fallback are all exercised, including cross-document
+    matches."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.slice(F.filter(F.split(F.lower(F.col("text")), " "),
+                         lambda x: x != ""), 1, 6).alias("t6"))
+    toks = toks.filter(F.size("t6") >= 6)
+    base_x = (F.col("doc_id") * 29 % 300).cast("double")
+    base_y = (F.col("doc_id") * 17 % 400).cast("double")
+    lines = toks.select(
+        F.col("doc_id").alias("line_id"),
+        F.array_join(F.slice("t6", 1, 4), " ").alias("text_l"),
+        base_x.alias("x_l"), base_y.alias("y_l"))
+    k = F.explode(F.sequence(F.lit(0), F.lit(SPAN_VARIANTS - 1))).alias("k")
+    spans = (toks.select("doc_id", "t6", base_x.alias("bx"),
+                         base_y.alias("by"), k)
+             .select((F.col("doc_id") * SPAN_VARIANTS + F.col("k")).alias("span_idx"),
+                     F.col("doc_id").alias("span_doc"), "k",
+                     F.when(F.col("k") == 1, F.array_join(F.slice("t6", 1, 4), " "))
+                     .otherwise(F.array_join(F.col("t6"), " ")).alias("text_s"),
+                     (F.col("bx") + 12 * F.col("k")).alias("x_s"),
+                     # every 7th doc's spans sit out of tolerance -> its
+                     # line exercises the estimated-style fallback (unless
+                     # a cross-document span happens to match)
+                     (F.col("by") + 6 * F.col("k")
+                      + F.when(F.col("doc_id") % 7 == 0, 50).otherwise(0))
+                     .alias("y_s")))
+    # y-grid bucket join: probe the 3 buckets any |dy|<=tol match can be in
+    probes = lines.select(
+        "line_id", "text_l", "x_l", "y_l",
+        F.explode(F.array(*[F.floor(F.col("y_l") / Y_TOL) + d
+                            for d in (-1, 0, 1)])).alias("yb"))
+    keyed_spans = spans.withColumn("yb", F.floor(F.col("y_s") / Y_TOL))
+    chars = lambda c: F.array_distinct(F.split(c, ""))  # noqa: E731
+    cand = (probes.join(keyed_spans, "yb")
+            .filter((F.abs(F.col("y_s") - F.col("y_l")) <= Y_TOL)
+                    & (F.abs(F.col("x_s") - F.col("x_l")) <= 2 * Y_TOL)
+                    & ((F.expr("instr(text_s, text_l)") > 0)
+                       | (F.expr("instr(text_l, text_s)") > 0)))
+            .select("line_id", "span_idx", "span_doc", "k",
+                    F.size(F.array_intersect(chars(F.col("text_l")),
+                                             chars(F.col("text_s"))))
+                    .alias("overlap")))
+    w = Window.partitionBy("line_id").orderBy(F.col("overlap").desc(),
+                                              F.col("span_idx"))
+    best = (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
+    return (lines.select("line_id").join(best, "line_id", "left")
+            .select("line_id",
+                    F.col("span_idx").isNotNull().alias("matched"),
+                    "span_doc", "k", "overlap",
+                    F.when(F.col("k").isNotNull(),
+                           (8.0 + F.col("k")).cast("double"))
+                    .otherwise(F.lit(12.0)).alias("font_size"))
+            .orderBy("line_id"))
+
+
+R6_STYLE_MERGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '')[1:6] AS t6
+  FROM documents
+), ok AS (SELECT * FROM toks WHERE len(t6) >= 6),
+lines AS (
+  SELECT doc_id AS line_id,
+         array_to_string(t6[1:4], ' ') AS text_l,
+         CAST(doc_id * 29 % 300 AS DOUBLE) AS x_l,
+         CAST(doc_id * 17 % 400 AS DOUBLE) AS y_l
+  FROM ok
+), spans AS (
+  SELECT doc_id * {SPAN_VARIANTS} + k AS span_idx, doc_id AS span_doc, k,
+         CASE WHEN k = 1 THEN array_to_string(t6[1:4], ' ')
+              ELSE array_to_string(t6, ' ') END AS text_s,
+         CAST(doc_id * 29 % 300 AS DOUBLE) + 12 * k AS x_s,
+         CAST(doc_id * 17 % 400 AS DOUBLE) + 6 * k
+           + CASE WHEN doc_id % 7 = 0 THEN 50 ELSE 0 END AS y_s
+  FROM ok, (SELECT unnest(range({SPAN_VARIANTS})) AS k)
+), cand AS (
+  SELECT l.line_id, s.span_idx, s.span_doc, s.k,
+         len(list_intersect(list_distinct(string_split(l.text_l, '')),
+                            list_distinct(string_split(s.text_s, ''))))
+           AS overlap
+  FROM lines l JOIN spans s
+    ON floor(s.y_s / {Y_TOL}) BETWEEN floor(l.y_l / {Y_TOL}) - 1
+                                  AND floor(l.y_l / {Y_TOL}) + 1
+   AND abs(s.y_s - l.y_l) <= {Y_TOL}
+   AND abs(s.x_s - l.x_l) <= 2 * {Y_TOL}
+   AND (strpos(s.text_s, l.text_l) > 0 OR strpos(l.text_l, s.text_s) > 0)
+), best AS (
+  SELECT * FROM (
+    SELECT cand.*,
+           row_number() OVER (PARTITION BY line_id
+                              ORDER BY overlap DESC, span_idx) AS rn
+    FROM cand) WHERE rn = 1
+)
+SELECT l.line_id,
+       b.span_idx IS NOT NULL AS matched,
+       b.span_doc, b.k, b.overlap,
+       CASE WHEN b.k IS NOT NULL THEN CAST(8.0 + b.k AS DOUBLE)
+            ELSE 12.0 END AS font_size
+FROM lines l LEFT JOIN best b ON b.line_id = l.line_id
+ORDER BY l.line_id
+"""
+
+
 LINE_WORDS = 12  # words per synthesized line
 SPAN_START, SPAN_LEN = 4, 3  # the field value = words 4..6 of the line
 
