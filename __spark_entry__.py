@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_parse_tagged": arrow_ops.k1_parse_tagged,
         "token_count_arrow": arrow_ops.token_count_arrow,
         "multimodal_meta": arrow_ops.multimodal_meta,
+        "multimodal_framesample": arrow_ops.multimodal_framesample,
         "k9_anchor_join": arrow_ops.k9_anchor_join,
         "o7_reocr_pass": arrow_ops.o7_reocr_pass,
         # rows-only (markdown structure is not SQL-expressible; kernel
@@ -166,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "k1_parse_tagged": arrow_ops.K1_PARSE_TAGGED_SQL,
         "token_count_arrow": arrow_ops.TOKEN_COUNT_ARROW_SQL,
         "multimodal_meta": arrow_ops.MULTIMODAL_META_SQL,
+        "multimodal_framesample": arrow_ops.MULTIMODAL_FRAMESAMPLE_SQL,
         "k9_anchor_join": arrow_ops.K9_ANCHOR_JOIN_SQL,
         "o7_reocr_pass": arrow_ops.O7_REOCR_PASS_SQL,
         # s6_markdown_render intentionally has no oracle (rows-only check)

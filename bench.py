@@ -32,7 +32,7 @@ def main() -> None:
     from horizon_ocr_python_spark.engine.pipeline import pages_dataframe
     from horizon_ocr_python_spark.engine.session import build_session
     from horizon_ocr_python_spark.operators import (
-        compose, dedup, relational, sessionize, similarity, textops)
+        compose, dedup, pagemodel, relational, sessionize, similarity, textops)
 
     spark = build_session(master=f"local[{CPUS}]",
                           shuffle_partitions=2 * CPUS,
@@ -51,7 +51,10 @@ def main() -> None:
     # flagship extraction pipeline. Input is materialized to parquet first
     # (untimed — BASELINE.md protocol: build the table once; the measured
     # job is read -> salted repartition -> fused extraction -> count).
-    pages_path = f"/tmp/bench_pages_{N_PAGES}"
+    # cache key carries a generator version: round 2 changed the synthetic
+    # corpus (multi-page/compressed PDFs, JPEG images) — a stale cache would
+    # silently bench the old workload
+    pages_path = f"/tmp/bench_pages_{N_PAGES}_g2"
     if not os.path.exists(pages_path):
         pages_dataframe(spark, N_PAGES, seed=42, slices=2 * CPUS) \
             .write.parquet(pages_path)
@@ -74,6 +77,10 @@ def main() -> None:
         ("o7_worst_k", sessionize.worst_k),
         ("token_count", textops.token_count),
         ("neardup_verdict", compose.neardup_verdict),
+        ("embedding_cosine_pairs", compose.embedding_cosine_pairs),
+        ("lsh_ann_topk", similarity.lsh_ann_topk),
+        ("s1_page_fanout", pagemodel.s1_page_fanout),
+        ("r6_style_merge", pagemodel.r6_style_merge),
         ("k4_bio_grouping", __import__("horizon_ocr_python_spark.operators.extras",
                                        fromlist=["extras"]).k4_bio_grouping),
     ]:

@@ -79,6 +79,17 @@ def _page_row(p: dict) -> dict:
                 "bbox": _bbox_dict(w.get("bbox")),
                 "confidence": float(w.get("confidence", 1.0)),
             } for w in tl.get("words", [])],
+            "style": ({
+                "font_name": tl["style"].get("font_name"),
+                "font_size": (float(tl["style"]["font_size"])
+                              if tl["style"].get("font_size") is not None
+                              else None),
+                "bold": bool(tl["style"].get("bold", False)),
+                "italic": bool(tl["style"].get("italic", False)),
+                "color": tl["style"].get("color"),
+                "source": tl["style"].get("source"),
+                "confidence": float(tl["style"].get("confidence", 0.5)),
+            } if tl.get("style") else None),
         } for tl in p.get("text_lines", [])],
         "tables": [{"rows": t.get("rows", [])} for t in p.get("tables", [])],
         "raw_text": p.get("raw_text", ""),
@@ -100,7 +111,15 @@ def _reconstruction_row(rec: dict | None) -> dict | None:
             "height": float(e.get("height", 0.0)),
             "font_size": (float(e["font_size"])
                           if e.get("font_size") is not None else None),
+            "bold": bool(e.get("bold", False)),
         } for e in rec.get("elements", [])],
+        "tables": [{
+            "page": int(t.get("page", 1)),
+            "rows": int(t.get("rows", 0)),
+            "cols": int(t.get("cols", 0)),
+            "cells": [{"row": int(c["row"]), "col": int(c["col"]),
+                       "text": c.get("text")} for c in t.get("cells", [])],
+        } for t in rec.get("tables", [])],
         "fields_summary": {str(k): (str(v) if v is not None else None)
                            for k, v in (rec.get("fields_summary") or {}).items()},
     }

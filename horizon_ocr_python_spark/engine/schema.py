@@ -74,11 +74,23 @@ WORD_SCHEMA = StructType([
     StructField("confidence", DoubleType(), True),
 ])
 
+# TextStyle (types.py:110-125, R4): present on the PDF-native path.
+STYLE_SCHEMA = StructType([
+    StructField("font_name", StringType(), True),
+    StructField("font_size", DoubleType(), True),
+    StructField("bold", BooleanType(), True),
+    StructField("italic", BooleanType(), True),
+    StructField("color", StringType(), True),
+    StructField("source", StringType(), True),
+    StructField("confidence", DoubleType(), True),
+])
+
 LINE_SCHEMA = StructType([
     StructField("text", StringType(), True),
     StructField("bbox", BBOX_SCHEMA, True),
     StructField("font_size", DoubleType(), True),
     StructField("words", ArrayType(WORD_SCHEMA), True),
+    StructField("style", STYLE_SCHEMA, True),
 ])
 
 REGION_SCHEMA = StructType([
@@ -112,6 +124,18 @@ RECON_ELEMENT_SCHEMA = StructType([
     StructField("width", DoubleType(), True),
     StructField("height", DoubleType(), True),
     StructField("font_size", DoubleType(), True),
+    StructField("bold", BooleanType(), True),
+])
+
+RECON_TABLE_SCHEMA = StructType([
+    StructField("page", IntegerType(), True),
+    StructField("rows", IntegerType(), True),
+    StructField("cols", IntegerType(), True),
+    StructField("cells", ArrayType(StructType([
+        StructField("row", IntegerType(), True),
+        StructField("col", IntegerType(), True),
+        StructField("text", StringType(), True),
+    ])), True),
 ])
 
 RECONSTRUCTION_SCHEMA = StructType([
@@ -122,6 +146,7 @@ RECONSTRUCTION_SCHEMA = StructType([
         StructField("height", IntegerType(), True),
     ])), True),
     StructField("elements", ArrayType(RECON_ELEMENT_SCHEMA), True),
+    StructField("tables", ArrayType(RECON_TABLE_SCHEMA), True),
     StructField("fields_summary", MapType(StringType(), StringType()), True),
 ])
 

@@ -148,23 +148,32 @@ def _pdf_line_struct(ln: dict) -> dict:
                           "bbox": (cursor, y - size, cursor + step * len(w), y),
                           "confidence": 1.0})
         cursor += step * (len(w) + 1)
+    style = None
+    if ln.get("font_name"):
+        style = {"font_name": ln["font_name"],
+                 "font_size": size,
+                 "bold": bool(ln.get("bold", False)),
+                 "italic": bool(ln.get("italic", False)),
+                 "color": ln.get("color", "#000000"),
+                 "source": "pdf_native",
+                 "confidence": 0.9}
     return {
         "text": ln["text"],
         "page": int(ln.get("page", 1)),
         "bbox": (x, y - size, x + step * len(ln["text"]), y),
         "font_size": size,
         "words": words,
+        "style": style,
     }
 
 
 def build_reconstruction(pages: list[dict], fields: list[dict]) -> dict:
     """R1 flat view embedded in the JSON output (orchestrator.py:1387-1391
-    via io/reconstruction.py:136-250): per-page dims + text elements deduped
-    on (text, y-band) and sorted in reading order, + fields summary.
-
-    Subset deviation (documented): no style block (font name/bold/italic) —
-    our TextLine carries font_size only — and table grids stay in the
-    document-level `tables` array rather than being duplicated here."""
+    via io/reconstruction.py:136-250): per-page dims + text elements (with
+    bold flag) deduped on (text, y-band) and sorted in reading order, flat
+    table grids (page/rows/cols/cells — geometry zeroed when the source has
+    none, reconstruction.py _bbox_to_coords(None) behavior), + fields
+    summary."""
     out_pages = [{"page": p["number"],
                   "width": p["metadata"]["width"],
                   "height": p["metadata"]["height"]} for p in pages]
@@ -178,15 +187,30 @@ def build_reconstruction(pages: list[dict], fields: list[dict]) -> dict:
             x, y, w, h = ((float(b[0]), float(b[1]),
                            float(b[2]) - float(b[0]), float(b[3]) - float(b[1]))
                           if b else (0.0, 0.0, 0.0, 0.0))
+            st = tl.get("style") or {}
             elements.append({"type": "text", "page": p["number"], "text": text,
                              "x": x, "y": y, "width": w, "height": h,
-                             "font_size": tl.get("font_size")})
+                             "font_size": tl.get("font_size"),
+                             "bold": bool(st.get("bold", False))})
     elements = reading_order.dedup_elements(elements)
     elements = reading_order.sort_reading_order(elements)
+    table_grids = []
+    for p in pages:
+        for t in p.get("tables", []):
+            rows = t.get("rows", [])
+            n_cols = max((len(r) for r in rows), default=0)
+            table_grids.append({
+                "page": p["number"],
+                "rows": len(rows), "cols": n_cols,
+                "cells": [{"row": ri, "col": ci, "text": cell}
+                          for ri, row in enumerate(rows)
+                          for ci, cell in enumerate(row)],
+            })
     return {
         "version": "1.0",
         "pages": out_pages,
         "elements": elements,
+        "tables": table_grids,
         "fields_summary": {f["name"]: f["value"] for f in fields},
     }
 
@@ -250,7 +274,7 @@ def _extract(url: str, payload: bytes, warc_ts: Any, lang: str,
             max_link_density=st["max_link_density"])
         n_pages = 1
         page_text_lines = {1: [{"text": b["text"], "page": 1, "bbox": None,
-                                "font_size": None, "words": []}
+                                "font_size": None, "words": [], "style": None}
                                for b in hx["content_blocks"]]}
         page_regions = {1: [{"type": b["role"], "index": b["index"],
                              "bbox": None, "page": 1, "confidence": 1.0}

@@ -25,6 +25,7 @@ the same per-document containment boundary as the text path.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -146,6 +147,19 @@ def _build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int],
     return {(ln, c): s for s, (c, ln) in _build_codes(bits, vals).items()}
 
 
+@lru_cache(maxsize=64)
+def _decode_lut(bits: tuple, vals: tuple) -> np.ndarray:
+    """16-bit-prefix lookup table: lut[prefix] = symbol<<8 | code_length
+    (0 = invalid). One O(64k) build per distinct huffman table per process
+    (cached — the Annex K tables repeat across every standard file), then
+    each symbol decodes in one array index instead of up to 16 bit reads."""
+    lut = np.zeros(1 << 16, dtype=np.uint32)
+    for sym, (code, ln) in _build_codes(list(bits), list(vals)).items():
+        base = code << (16 - ln)
+        lut[base:base + (1 << (16 - ln))] = (sym << 8) | ln
+    return lut
+
+
 class _BitWriter:
     def __init__(self):
         self.out = bytearray()
@@ -168,65 +182,73 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s
 
 
-class _BitReader:
-    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at markers."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self):
-        d = self.data
-        if self.pos >= len(d):
-            raise EOFError("truncated entropy data")
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
-            if nxt == 0x00:
-                self.pos += 2
-            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(nxt)
-            else:
-                raise EOFError("marker inside entropy data")
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def align_after_restart(self):
-        """Consume the RSTn marker and byte-align."""
-        self.acc = 0
-        self.nbits = 0
-        self.pos += 2  # skip FF Dn
-
-
 class _RestartMarker(Exception):
     def __init__(self, marker: int):
         self.marker = marker
 
 
-def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid huffman code")
+class _BitReader:
+    """Buffered entropy-segment bit reader with 0xFF00 unstuffing.
+
+    Markers/EOF are DEFERRED: filling stops there (`stopped` records why)
+    and the stored exception is raised only when a consumer actually needs
+    bits past the real stream — bits buffered before the marker decode
+    normally, matching the byte-serial reference behavior."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.window = 0   # MSB = oldest bit
+        self.nbits = 0    # real (non-padded) bits in window
+        self.stopped: Exception | None = None
+
+    def _fill_to(self, need: int):
+        d = self.data
+        while self.nbits < need and self.stopped is None:
+            if self.pos >= len(d):
+                self.stopped = EOFError("truncated entropy data")
+                break
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    self.stopped = _RestartMarker(nxt)
+                    break
+                else:
+                    self.stopped = EOFError("marker inside entropy data")
+                    break
+            else:
+                self.pos += 1
+            self.window = (self.window << 8) | b
+            self.nbits += 8
+
+    def read_bits(self, n: int) -> int:
+        if self.nbits < n:
+            self._fill_to(n)
+            if self.nbits < n:
+                raise self.stopped or EOFError("truncated entropy data")
+        self.nbits -= n
+        v = self.window >> self.nbits
+        self.window &= (1 << self.nbits) - 1
+        return v
+
+
+def _decode_symbol(br: _BitReader, lut: np.ndarray) -> int:
+    if br.nbits < 16:
+        br._fill_to(16)
+    nb = br.nbits
+    prefix = (br.window >> (nb - 16)) if nb >= 16 else (br.window << (16 - nb))
+    entry = int(lut[prefix])
+    ln = entry & 0xFF
+    if ln == 0:
+        raise ValueError("invalid huffman code")
+    if ln > nb:
+        raise br.stopped or EOFError("truncated entropy data")
+    br.nbits = nb - ln
+    br.window &= (1 << br.nbits) - 1
+    return entry >> 8
 
 
 def _extend(v: int, t: int) -> int:
@@ -426,7 +448,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(payload[p + 1:p + 17])
                 nv = sum(bits)
                 vals = list(payload[p + 17:p + 17 + nv])
-                huff[(cls, tid)] = _build_decode_map(bits, vals)
+                huff[(cls, tid)] = _decode_lut(tuple(bits), tuple(vals))
                 p += 17 + nv
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
             prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
@@ -498,7 +520,8 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list[dict],
 def _skip_to_restart(br: _BitReader):
     # discard pad bits, expect FF Dn
     br.nbits = 0
-    br.acc = 0
+    br.window = 0
+    br.stopped = None
     d = br.data
     while br.pos + 1 < len(d):
         if d[br.pos] == 0xFF and 0xD0 <= d[br.pos + 1] <= 0xD7:

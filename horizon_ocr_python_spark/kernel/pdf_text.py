@@ -26,23 +26,40 @@ import zlib
 
 PAGE_W, PAGE_H = 612, 792  # US Letter, the reference fixture size (conftest.py:79-103)
 
+# R4 style subset: three Type1 fonts. Bold/italic detection downstream uses
+# the reference's name-substring rule (pdf_style_extractor.py span flags).
+FONTS = {
+    "regular": ("F1", "Helvetica"),
+    "bold": ("F2", "Helvetica-Bold"),
+    "italic": ("F3", "Helvetica-Oblique"),
+}
+
 
 def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _page_stream(lines: list[tuple[float, float, str, float]],
-                 use_td: bool = False) -> bytes:
+def _page_stream(lines: list[tuple], use_td: bool = False) -> bytes:
     """Content stream for one page. `lines` = [(x, y_top, text, font_size)]
-    with y_top measured from the TOP of the page (reference-fixture
-    convention, conftest.py:85-99). With `use_td`, positions are emitted as
-    Td offsets relative to the previous line (the form real generators like
-    LaTeX emit) instead of absolute Tm matrices."""
+    or extended [(x, y_top, text, font_size, font_key, color_hex)] with
+    y_top measured from the TOP of the page (reference-fixture convention,
+    conftest.py:85-99). With `use_td`, positions are emitted as Td offsets
+    relative to the previous line (the form real generators like LaTeX
+    emit) instead of absolute Tm matrices. Colors emit `r g b rg` fill
+    operators."""
     ops = ["BT"]
     cx, cy = 0.0, 0.0
-    for x, y_top, text, size in lines:
+    cur_color = None
+    for line in lines:
+        x, y_top, text, size = line[:4]
+        font_key = line[4] if len(line) > 4 and line[4] else "regular"
+        color = line[5] if len(line) > 5 else None
         y_pdf = PAGE_H - y_top
-        ops.append(f"/F1 {size:g} Tf")
+        if color and color != cur_color:
+            r, g, b = (int(color[i:i + 2], 16) / 255.0 for i in (1, 3, 5))
+            ops.append(f"{r:g} {g:g} {b:g} rg")
+            cur_color = color
+        ops.append(f"/{FONTS[font_key][0]} {size:g} Tf")
         if use_td:
             ops.append(f"{x - cx:g} {y_pdf - cy:g} Td")
             cx, cy = x, y_pdf
@@ -62,7 +79,10 @@ def build_pdf_pages(pages: list[list[tuple[float, float, str, float]]],
     content streams are zlib-deflated and tagged /FlateDecode.
     """
     n = len(pages)
-    font_obj_num = 3 + 2 * n
+    first_font_obj = 3 + 2 * n
+    font_entries = " ".join(
+        f"/{tag} {first_font_obj + j} 0 R"
+        for j, (tag, _) in enumerate(FONTS.values()))
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
 
     objects: list[bytes] = [
@@ -74,7 +94,7 @@ def build_pdf_pages(pages: list[list[tuple[float, float, str, float]]],
         objects.append(
             (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
              f"/Contents {stream_num} 0 R "
-             f"/Resources << /Font << /F1 {font_obj_num} 0 R >> >> >>").encode())
+             f"/Resources << /Font << {font_entries} >> >> >>").encode())
         raw = _page_stream(lines, use_td=use_td)
         if compress:
             data = zlib.compress(raw, 6)
@@ -83,7 +103,9 @@ def build_pdf_pages(pages: list[list[tuple[float, float, str, float]]],
             data = raw
             head = f"<< /Length {len(data)} >>".encode()
         objects.append(head + b"\nstream\n" + data + b"\nendstream")
-    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for _, basefont in FONTS.values():
+        objects.append(
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /{basefont} >>".encode())
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -107,15 +129,37 @@ def build_pdf(lines: list[tuple[float, float, str, float]],
 
 
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
-_SIZE_RE = re.compile(rb"/F\d+ ([0-9.]+) Tf")
+_TF_RE = re.compile(rb"/(F\d+) ([0-9.]+) Tf")
 
-# One operator per match: font select, absolute Tm, relative Td, show text.
+# One operator per match: font select, absolute Tm, relative Td, show text,
+# fill color, text-block start.
 _TOKEN_RE = re.compile(
     rb"(/F\d+ [0-9.]+ Tf)"
     rb"|(?:1 0 0 1 ([0-9.+-]+) ([0-9.+-]+) Tm)"
     rb"|(?:([0-9.+-]+) ([0-9.+-]+) Td)"
     rb"|(?:\(((?:[^()\\]|\\.)*)\) Tj)"
-    rb"|(BT)")
+    rb"|(BT)"
+    rb"|(?:([0-9.]+) ([0-9.]+) ([0-9.]+) rg)")
+
+_FONT_OBJ_RE = re.compile(
+    rb"(\d+) 0 obj\s*<< /Type /Font [^>]*?/BaseFont /([A-Za-z0-9-]+)")
+_FONT_REF_RE = re.compile(rb"/(F\d+) (\d+) 0 R")
+
+
+def _font_map(pdf: bytes) -> dict[bytes, str]:
+    """Resource tag (F1, F2, ...) -> BaseFont name, from the font objects
+    and the page Resources dicts (our subset shares one font set)."""
+    obj_names = {m.group(1): m.group(2).decode("latin-1")
+                 for m in _FONT_OBJ_RE.finditer(pdf)}
+    return {m.group(1): obj_names[m.group(2)]
+            for m in _FONT_REF_RE.finditer(pdf) if m.group(2) in obj_names}
+
+
+def style_flags(font_name: str) -> tuple[bool, bool]:
+    """(bold, italic) from the font name — the reference's span-flag rule
+    (pdf_style_extractor.py name-substring heuristic for PyMuPDF spans)."""
+    low = (font_name or "").lower()
+    return ("bold" in low, "italic" in low or "oblique" in low)
 
 
 def _unescape(raw: bytes) -> str:
@@ -169,29 +213,43 @@ def extract_pdf_text_lines(pdf: bytes) -> list[dict]:
     coordinates as the reference's Page uses, types.py:243-250). Lines come
     back in reading order: (page, y-band 50px, x) per reconstruction.py:121-133.
     """
+    fonts = _font_map(pdf)
     lines: list[dict] = []
     for page_num, stream in enumerate(_iter_streams(pdf), start=1):
         if stream is None:  # corrupt page: contained, numbering preserved
             continue
         size = 12.0
+        font_name = "Helvetica"
+        color = "#000000"
         cx, cy = 0.0, 0.0  # current text position (PDF bottom-up coords)
         for m in _TOKEN_RE.finditer(stream):
             if m.group(1):  # Tf
-                size = float(_SIZE_RE.match(m.group(1)).group(1))
+                tf = _TF_RE.match(m.group(1))
+                size = float(tf.group(2))
+                font_name = fonts.get(tf.group(1), font_name)
             elif m.group(2) is not None:  # Tm (absolute)
                 cx, cy = float(m.group(2)), float(m.group(3))
             elif m.group(4) is not None:  # Td (relative)
                 cx, cy = cx + float(m.group(4)), cy + float(m.group(5))
             elif m.group(6) is not None:  # Tj
+                bold, italic = style_flags(font_name)
                 lines.append({
                     "text": _unescape(m.group(6)),
                     "x": cx,
                     "y": PAGE_H - cy,  # top-down
                     "page": page_num,
                     "font_size": size,
+                    "font_name": font_name,
+                    "bold": bold,
+                    "italic": italic,
+                    "color": color,
                 })
-            else:  # BT — reset the text cursor
+            elif m.group(7) is not None:  # BT — reset the text cursor
                 cx, cy = 0.0, 0.0
+            else:  # rg fill color
+                r, g, b = (float(m.group(i)) for i in (8, 9, 10))
+                color = "#{:02x}{:02x}{:02x}".format(
+                    round(r * 255), round(g * 255), round(b * 255))
     lines.sort(key=lambda ln: (ln["page"], int(ln["y"] // 50), ln["x"]))
     return lines
 

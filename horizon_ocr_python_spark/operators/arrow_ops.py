@@ -156,6 +156,46 @@ ORDER BY doc_id
 """
 
 
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-column plumbing: deterministic uniform frame sampling
+    (kernel.multimodal.frame_sample_indices) as pure Catalyst expressions —
+    per synthetic video (n_frames derived from doc_id), the k sampled frame
+    indices, exploded one row per sampled frame. At scale this is the
+    pre-decode step: the binary payload is untouched until the sampled
+    frame list is known (decode only what survives the sample)."""
+    k = 8
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    vids = docs.withColumn("n_frames", (F.col("doc_id") % 240 + 1).cast("int"))
+    # k >= n_frames -> every frame; else floor(i * n / k), i in 0..k-1
+    idx_full = F.sequence(F.lit(0), F.col("n_frames") - 1)
+    idx_sampled = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.floor(i * F.col("n_frames") / k).cast("int"))
+    return (vids.select(
+        "doc_id", "n_frames",
+        F.explode(F.when(F.col("n_frames") <= k, idx_full)
+                  .otherwise(idx_sampled)).alias("frame_idx"))
+        .orderBy("doc_id", "frame_idx"))
+
+
+MULTIMODAL_FRAMESAMPLE_SQL = """
+WITH vids AS (
+  SELECT doc_id, CAST(doc_id % 240 + 1 AS INT) AS n_frames FROM documents
+)
+SELECT doc_id, n_frames, CAST(frame_idx AS INT) AS frame_idx
+FROM (
+  SELECT doc_id, n_frames,
+         unnest(CASE WHEN n_frames <= 8
+                THEN range(0, n_frames)
+                ELSE list_transform(range(0, 8),
+                                    i -> CAST(floor(i * n_frames / 8) AS BIGINT))
+                END) AS frame_idx
+  FROM vids
+)
+ORDER BY doc_id, frame_idx
+"""
+
+
 # --- K9: anchoring as a relational join ------------------------------------------------
 
 

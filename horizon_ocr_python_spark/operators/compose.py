@@ -95,9 +95,14 @@ def _cc_labels(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     sym = (edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
            .unionByName(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
            .distinct().localCheckpoint())
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label")) \
+    # iterate ONLY over nodes that appear in an edge — at corpus scale the
+    # dup-graph members are a small fraction of all documents, so the loop's
+    # working set is edge-sized, not corpus-sized. Isolated docs join back
+    # (label = own id) at the end.
+    members = sym.select(F.col("x").alias("doc_id")).distinct()
+    labels = members.select("doc_id", F.col("doc_id").alias("label")) \
         .localCheckpoint()
-    for _ in range(CC_MAX_ITER):
+    for it in range(CC_MAX_ITER):
         nbr = (sym.join(labels.withColumnRenamed("doc_id", "y"), "y")
                .groupBy("x").agg(F.min("label").alias("nbr_label"))
                .withColumnRenamed("x", "doc_id"))
@@ -113,12 +118,18 @@ def _cc_labels(edges: DataFrame, nodes: DataFrame) -> DataFrame:
                        F.least("label", F.coalesce("label2", "label"))
                        .alias("label"))
                .localCheckpoint())
-        changed = (new.join(labels.withColumnRenamed("label", "old"), "doc_id")
-                   .filter(F.col("label") != F.col("old")).count())
+        # convergence check every 2nd round: halves the extra jobs, costs at
+        # most one redundant (already-converged) round
+        if it % 2 == 1 or it == CC_MAX_ITER - 1:
+            changed = (new.join(labels.withColumnRenamed("label", "old"),
+                                "doc_id")
+                       .filter(F.col("label") != F.col("old")).count())
+            if changed == 0:
+                labels = new
+                break
         labels = new
-        if changed == 0:
-            break
-    return labels
+    return (nodes.join(labels, "doc_id", "left")
+            .select("doc_id", F.coalesce("label", "doc_id").alias("label")))
 
 
 def neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -127,7 +127,9 @@ def make_page(i: int, seed: int = 42, n_hosts: int = 50, scale: int = 1) -> dict
         if rng.random() < 0.5:
             paras = paras + [_sentence(rng, rng.randint(8, 25))
                              for _ in range(rng.randint(15, 30))]
-        pages_lines: list[list[tuple]] = [[(72.0, 72.0, title, 24.0)]]
+        # R4 style subset: title is bold (the reference's near-top +
+        # large-font title role also carries the bold span flag)
+        pages_lines: list[list[tuple]] = [[(72.0, 72.0, title, 24.0, "bold")]]
         y = 120.0
         for text_line in paras + kv_lines:
             if y > 720.0:  # bottom margin -> new page, top margin

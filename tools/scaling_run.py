@@ -70,8 +70,11 @@ for _ in range(3):  # then three timed runs, keep the median (steady-state)
     walls.append(time.perf_counter() - t0)
 wall = sorted(walls)[1]
 
-docs = extract_stage(salted_repartition(pages, 2 * cores)).cache()
-docs.count()
+# lineage pass: prune to the metrics columns BEFORE caching — the round-2
+# Document rows carry the full nested page/word model and caching them
+# whole at 120k scale-24 docs OOMs the JVM memory store
+docs = extract_stage(salted_repartition(pages, 2 * cores)) \
+    .select("partition_id", "status", "extract_ms")
 m = extracted_metrics(docs).collect()
 part_wall = sorted(r.wall_ms for r in m)
 print("RESULT_JSON:" + json.dumps(dict(
@@ -90,7 +93,7 @@ spark.stop()
 
 def _run(code: str) -> str:
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=1800)
+                         text=True, timeout=3600)
     return out.stdout + ("\n" + out.stderr[-2000:] if out.returncode else "")
 
 
