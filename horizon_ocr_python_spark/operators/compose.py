@@ -40,18 +40,24 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin (pinned by tests/test_plan_shape.py)."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("v"))
-    keys = banded_keys(emb)
+    # band keys materialized once (they feed both join sides — without this
+    # the 48 hyperplane dot products run twice), norms precomputed per
+    # VECTOR, not per pair (sqrt(|a|)*sqrt(|b|) is the same float op either
+    # way; caching removes 2 of 3 array traversals per candidate pair)
+    keys = banded_keys(emb).localCheckpoint()
     a, b = keys.alias("a"), keys.alias("b")
     cand = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("ia"),
                     F.col("b.vec_id").alias("ib"))
             .distinct())
-    va = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
-    sim = F.round(
-        _dot(F.col("va"), F.col("vb"))
-        / (F.sqrt(_sqnorm(F.col("va"))) * F.sqrt(_sqnorm(F.col("vb")))), 4)
+    normed = emb.select("vec_id", "v", F.sqrt(_sqnorm(F.col("v"))).alias("nrm"))
+    va = normed.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+                       F.col("nrm").alias("na"))
+    vb = normed.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+                       F.col("nrm").alias("nb"))
+    sim = F.round(_dot(F.col("va"), F.col("vb"))
+                  / (F.col("na") * F.col("nb")), 4)
     return (cand.join(va, "ia").join(vb, "ib")
             .select("ia", "ib", sim.alias("cos_sim"))
             .filter(F.col("cos_sim") >= COSINE_PAIR_THRESHOLD)

@@ -60,7 +60,12 @@ def _band_key(vcol, band: int):
 def banded_keys(emb: DataFrame) -> DataFrame:
     """(vec_id, band_key) — one row per vector per band. Vectors are NOT
     carried through the explode (they re-join by id after candidate dedup,
-    keeping the banding shuffle to key-sized rows)."""
+    keeping the banding shuffle to key-sized rows).
+
+    The input is rebalanced first: the 48 hyperplane projections per vector
+    are the expensive part, and a single-file parquet scan would otherwise
+    run them in ONE task (the same pre-fan-out trap as dedup._rebalanced)."""
+    emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
     keys = F.array(*[_band_key(F.col("v"), b) for b in range(N_BANDS)])
     return emb.select("vec_id", F.explode(keys).alias("band_key"))
 
@@ -228,18 +233,21 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer than k candidates return fewer rows (no padding)."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("v"))
-    keys = banded_keys(emb)
+    # band keys materialized once (both join sides), norms per vector not
+    # per candidate (identical float ops, 2 fewer array traversals/pair)
+    keys = banded_keys(emb).localCheckpoint()
     qk = keys.filter(F.col("vec_id") < N_QUERIES) \
         .select(F.col("vec_id").alias("q_id"), "band_key")
     ck = keys.filter(F.col("vec_id") >= N_QUERIES)
     cand = qk.join(ck, "band_key").select("q_id", "vec_id").distinct()
 
-    qv = emb.filter(F.col("vec_id") < N_QUERIES) \
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-    sim = F.round(
-        _dot(F.col("qv"), F.col("v"))
-        / (F.sqrt(_sqnorm(F.col("qv"))) * F.sqrt(_sqnorm(F.col("v")))), 4)
-    scored = (cand.join(F.broadcast(qv), "q_id").join(emb, "vec_id")
+    normed = emb.select("vec_id", "v", F.sqrt(_sqnorm(F.col("v"))).alias("nrm"))
+    qv = normed.filter(F.col("vec_id") < N_QUERIES) \
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"))
+    sim = F.round(_dot(F.col("qv"), F.col("v"))
+                  / (F.col("qn") * F.col("nrm")), 4)
+    scored = (cand.join(F.broadcast(qv), "q_id").join(normed, "vec_id")
               .select("q_id", "vec_id", sim.alias("sim")))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
