@@ -108,24 +108,33 @@ def _cc_labels(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     members = sym.select(F.col("x").alias("doc_id")).distinct()
     labels = members.select("doc_id", F.col("doc_id").alias("label")) \
         .localCheckpoint()
-    for it in range(CC_MAX_ITER):
-        nbr = (sym.join(labels.withColumnRenamed("doc_id", "y"), "y")
+
+    def one_round(cur):
+        nbr = (sym.join(cur.withColumnRenamed("doc_id", "y"), "y")
                .groupBy("x").agg(F.min("label").alias("nbr_label"))
                .withColumnRenamed("x", "doc_id"))
-        relaxed = (labels.join(nbr, "doc_id", "left")
+        relaxed = (cur.join(nbr, "doc_id", "left")
                    .select("doc_id",
                            F.least("label", F.coalesce("nbr_label", "label"))
                            .alias("label")))
         # pointer jump: label <- label(label)
         jump = relaxed.select(F.col("doc_id").alias("label"),
                               F.col("label").alias("label2"))
-        new = (relaxed.join(jump, "label", "left")
-               .select("doc_id",
-                       F.least("label", F.coalesce("label2", "label"))
-                       .alias("label"))
-               .localCheckpoint())
-        # convergence check every 2nd round: halves the extra jobs, costs at
-        # most one redundant (already-converged) round
+        return (relaxed.join(jump, "label", "left")
+                .select("doc_id",
+                        F.least("label", F.coalesce("label2", "label"))
+                        .alias("label")))
+
+    # ONE propagation round per materialization (the round's `relaxed`
+    # frame is referenced twice — by the jump mapping and as its input — so
+    # stacking unmaterialized rounds recomputes it combinatorially).
+    # Convergence is checked with a count every 2nd round: labels only
+    # decrease, so the check costs at most one redundant round. (An
+    # Observation riding the checkpoint does NOT work: localCheckpoint is
+    # an RDD-level materialization and never delivers CollectMetrics, so
+    # obs.get blocks forever — learned the hard way.)
+    for it in range(CC_MAX_ITER):
+        new = one_round(labels).localCheckpoint()
         if it % 2 == 1 or it == CC_MAX_ITER - 1:
             changed = (new.join(labels.withColumnRenamed("label", "old"),
                                 "doc_id")
