@@ -53,13 +53,19 @@ ORDER BY l_returnflag, l_linestatus
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join with an explicitly broadcast dimension
     (customer is small — never shuffle the fact side for it), grouped
-    revenue, global top-10."""
+    revenue, global top-10.
+
+    Join ORDER matters at scale: orders x broadcast(customer) runs FIRST,
+    so the BUILDING-segment selectivity (~1/5) cuts the orders side before
+    lineitem joins — the big fact table shuffles against a pre-filtered
+    orders, not the full one (AQE cannot reorder across the aggregate)."""
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    building_orders = orders.join(F.broadcast(cust),
+                                  orders.o_custkey == cust.c_custkey)
+    return (li.join(building_orders, li.l_orderkey == building_orders.o_orderkey)
             .groupBy("o_orderkey")
             .agg(F.round(F.sum(revenue), 2).alias("revenue"),
                  F.min("o_orderdate").cast("date").cast("string").alias("orderdate"))

@@ -122,3 +122,55 @@ class TestFunctions:
         got2 = [r.ok for r in df2.select(looks_like_amount_expr(F.col("v")).alias("ok"))
                 .collect()]
         assert got2 == [True, False, True]
+
+
+class TestRound2Plans:
+    """Plan shapes for the round-2 operators: every similarity/dedup join is
+    an equi-join (no nested-loop/cartesian anywhere), fan-outs prune their
+    scans, and Q3 filters the orders side before the fact join."""
+
+    def test_s1_page_fanout_prunes_scan(self, spark):
+        from horizon_ocr_python_spark.operators import pagemodel
+
+        rs = plans.read_schema_of(pagemodel.s1_page_fanout(spark, SF))
+        assert "doc_id" in rs and "text" in rs
+        assert "lang" not in rs and "source" not in rs
+
+    def test_k9_substring_span_prunes_scan(self, spark):
+        from horizon_ocr_python_spark.operators import pagemodel
+
+        rs = plans.read_schema_of(pagemodel.k9_substring_span(spark, SF))
+        assert "lang" not in rs and "n_chars" not in rs
+
+    def test_r6_style_merge_equi_join_only(self, spark):
+        from horizon_ocr_python_spark.operators import pagemodel
+
+        plan = plans.physical_plan(pagemodel.r6_style_merge(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_jaccard_band_join_is_equi(self, spark):
+        from horizon_ocr_python_spark.operators import dedup
+
+        plan = plans.physical_plan(dedup.ngram_jaccard_pairs(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q3_filters_orders_before_fact_join(self, spark):
+        """The lineitem join input must already contain the customer
+        broadcast join (orders pre-filtered by segment), i.e. the broadcast
+        hash join appears below the sort-merge/shuffled join of lineitem."""
+        from horizon_ocr_python_spark.operators import relational
+
+        plan = plans.physical_plan(relational.top_revenue_orders(spark, SF))
+        assert plans.has_broadcast_join(relational.top_revenue_orders(spark, SF))
+        # the customer join (on o_custkey/c_custkey) must be NESTED UNDER
+        # the fact join (on l_orderkey/o_orderkey): in explain text the
+        # descendant operator prints later. (At sf0.001 Spark may broadcast
+        # lineitem too — the nesting, not the join strategy, is the
+        # property that survives scale-up.)
+        fact_join = re.search(r"Join \[l_orderkey", plan)
+        cust_join = re.search(r"Join \[o_custkey", plan)
+        assert fact_join and cust_join, plan[:1500]
+        assert cust_join.start() > fact_join.start(), \
+            "customer join is not under the fact join"
