@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2_norms": similarity.l2_norms,
         "lsh_bucket_ann": similarity.lsh_bucket_ann,
         "lsh_ann_topk": similarity.lsh_ann_topk,
+        "ivf_ann_topk": similarity.ivf_ann_topk,
         # window/sessionization (D13/O7/R1 dataset forms)
         "d13_gap_sessionize": sessionize.gap_sessionize,
         "o7_worst_k": sessionize.worst_k,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "l2_norms": similarity.L2_NORMS_SQL,
         "lsh_bucket_ann": similarity.LSH_BUCKET_ANN_SQL,
         "lsh_ann_topk": similarity.LSH_ANN_TOPK_SQL,
+        "ivf_ann_topk": similarity.IVF_ANN_TOPK_SQL,
         "d13_gap_sessionize": sessionize.GAP_SESSIONIZE_SQL,
         "o7_worst_k": sessionize.WORST_K_SQL,
         "r1_yband_dedup": sessionize.YBAND_DEDUP_SQL,

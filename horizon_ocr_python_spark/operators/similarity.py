@@ -222,6 +222,111 @@ ORDER BY b.vec_id
 """
 
 
+N_CENTROIDS, N_PROBE = 16, 4
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (the second scale path besides sign-LSH): corpus
+    vectors are assigned to their nearest centroid (inverted lists), each
+    query probes its N_PROBE nearest centroid lists, exact cosine + top-k
+    within the probed lists only — candidate volume ~ N_PROBE/N_CENTROIDS
+    of the corpus per query.
+
+    Centroids are the first N_CENTROIDS corpus vectors (deterministic
+    data-sampled initialization, no Lloyd iterations — the exactness-
+    friendly IVF baseline; production would train centroids offline and
+    broadcast them, which is exactly the shape here: a 16-row broadcast).
+    Assignment similarities are rounded to 6dp before ranking so the
+    argmax is float-stable across engines.
+
+    Measured recall vs exact top-3 at sf0.01: 6/15 scanning 25% of the
+    corpus — the driver embeddings are isotropic random, where Voronoi
+    cells of sampled centroids carry no structure (IVF's worst case); on
+    clustered data (the workload IVF exists for) every query returns a full
+    top-k of true near neighbors (tests/test_similarity_recall.py::TestIvf)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("v"))
+    normed = emb.select("vec_id", "v",
+                        F.sqrt(_sqnorm(F.col("v"))).alias("nrm"))
+    cents = (normed.filter((F.col("vec_id") >= N_QUERIES)
+                           & (F.col("vec_id") < N_QUERIES + N_CENTROIDS))
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("v").alias("cv"), F.col("nrm").alias("cn")))
+    asim = F.round(_dot(F.col("v"), F.col("cv"))
+                   / (F.col("nrm") * F.col("cn")), 6)
+    assigned = (normed.crossJoin(F.broadcast(cents))
+                .select("vec_id", "cent_id", asim.alias("asim")))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("asim").desc(),
+                                                    F.col("cent_id"))
+    ranked = assigned.withColumn("arank", F.row_number().over(w_assign))
+    lists = (ranked.filter((F.col("arank") == 1)
+                           & (F.col("vec_id") >= N_QUERIES))
+             .select("cent_id", "vec_id"))
+    probes = (ranked.filter((F.col("arank") <= N_PROBE)
+                            & (F.col("vec_id") < N_QUERIES))
+              .select("cent_id", F.col("vec_id").alias("q_id")))
+    cand = probes.join(lists, "cent_id").select("q_id", "vec_id").distinct()
+
+    qv = normed.filter(F.col("vec_id") < N_QUERIES) \
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"))
+    sim = F.round(_dot(F.col("qv"), F.col("v"))
+                  / (F.col("qn") * F.col("nrm")), 4)
+    scored = (cand.join(F.broadcast(qv), "q_id").join(normed, "vec_id")
+              .select("q_id", "vec_id", sim.alias("sim")))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("q_id", "rank", "vec_id", "sim")
+            .orderBy("q_id", "rank"))
+
+
+IVF_ANN_TOPK_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), normed AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+  FROM emb
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM normed
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+), assigned AS (
+  SELECT n.vec_id, c.cent_id,
+         round(list_sum(list_transform(range(1, len(n.v)+1),
+                                       i -> n.v[i] * c.cv[i]))
+               / (n.nrm * c.cn), 6) AS asim
+  FROM normed n CROSS JOIN cents c
+), ranked AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY asim DESC, cent_id) AS arank
+  FROM assigned
+), lists AS (
+  SELECT cent_id, vec_id FROM ranked
+  WHERE arank = 1 AND vec_id >= {N_QUERIES}
+), probes AS (
+  SELECT cent_id, vec_id AS q_id FROM ranked
+  WHERE arank <= {N_PROBE} AND vec_id < {N_QUERIES}
+), cand AS (
+  SELECT DISTINCT p.q_id, l.vec_id FROM probes p JOIN lists l USING (cent_id)
+), scored AS (
+  SELECT cand.q_id, cand.vec_id,
+    round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i]))
+          / (q.nrm * c.nrm), 4) AS sim
+  FROM cand JOIN normed q ON q.vec_id = cand.q_id
+            JOIN normed c ON c.vec_id = cand.vec_id
+)
+SELECT q_id, rank, vec_id, sim FROM (
+  SELECT q_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+              AS INT) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+ORDER BY q_id, rank
+"""
+
+
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The closed ANN loop: banded-LSH bucket join -> exact cosine within
     candidates -> top-k per query. Every join is an equi-join (band_key,
