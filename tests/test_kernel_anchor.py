@@ -96,3 +96,89 @@ class TestAnchorFields:
 
     def test_merge_bboxes_envelope(self):
         assert anchor.merge_bboxes([(0, 5, 10, 15), (2, 1, 20, 9)]) == (0, 1, 20, 15)
+
+
+class TestReferenceParity:
+    """1:1 mirror of the reference's own anchoring scenarios
+    (reference tests/test_pipeline.py:259-395), same strings and coords."""
+
+    @staticmethod
+    def _tl(text, x1, y1, x2, y2):
+        parts = text.split()
+        w_width = (x2 - x1) / max(len(parts), 1)
+        words = [{"text": p,
+                  "bbox": (x1 + i * w_width, y1, x1 + (i + 1) * w_width, y2),
+                  "confidence": 0.95}
+                 for i, p in enumerate(parts)]
+        return {"text": text, "bbox": (x1, y1, x2, y2), "words": words, "page": 1}
+
+    @staticmethod
+    def _field(name, value):
+        return {"name": name, "value": value, "confidence": 0.90,
+                "status": "confident", "page": 1, "bbox": None,
+                "chosen_source": "gpt_vision",
+                "candidates": [{"source": "gpt_vision", "value": value,
+                                "confidence": 0.90, "page": 1, "bbox": None}]}
+
+    def test_exact_word_match(self):
+        tl = self._tl("Invoice Number: INV-12345", 10, 20, 500, 40)
+        f = self._field("invoice_number", "INV-12345")
+        anchor.anchor_fields([f], [tl], [])
+        assert f["bbox"] is not None
+        assert f["bbox"][0] > 10  # the word box, not the whole line
+
+    def test_exact_line_match(self):
+        tl = self._tl("ACME Corporation", 50, 100, 400, 130)
+        f = self._field("vendor_name", "ACME Corporation")
+        anchor.anchor_fields([f], [tl], [])
+        assert f["bbox"] is not None
+        # NOTE: words cover the whole line here, so strategy 1/3 can fire
+        # first with the same envelope — assert the reference's invariants
+        assert f["bbox"][3] == 130
+
+    def test_substring_match(self):
+        tl = self._tl("Date: 2025-01-15 Ref: ABC", 10, 50, 600, 70)
+        f = self._field("invoice_date", "2025-01-15")
+        anchor.anchor_fields([f], [tl], [])
+        assert f["bbox"] is not None
+
+    def test_table_cell_match(self):
+        tbl = {"rows": [["$1,234.56"]],
+               "cells": [{"row": 0, "col": 0, "text": "$1,234.56",
+                          "bbox": (200, 300, 350, 330), "page": 1}]}
+        f = self._field("total_amount", "$1,234.56")
+        anchor.anchor_fields([f], [], [tbl])
+        assert f["bbox"] is not None and f["bbox"][0] == 200
+
+    def test_no_match_leaves_none(self):
+        tl = self._tl("Completely unrelated text here", 10, 10, 400, 30)
+        f = self._field("customer_name", "John Smith")
+        anchor.anchor_fields([f], [tl], [])
+        assert f["bbox"] is None
+
+    def test_skips_na_values(self):
+        tl = self._tl("N/A", 10, 10, 50, 30)
+        f = self._field("po_number", "N/A")
+        anchor.anchor_fields([f], [tl], [])
+        assert f["bbox"] is None
+
+    def test_candidate_bbox_updated(self):
+        tl = self._tl("BOL-99887766", 100, 200, 300, 220)
+        f = self._field("bol_number", "BOL-99887766")
+        anchor.anchor_fields([f], [tl], [])
+        assert f["bbox"] is not None
+        assert f["candidates"][0]["bbox"] is not None
+        assert f["candidates"][0]["bbox"][0] == f["bbox"][0]
+
+    def test_already_has_bbox_is_skipped(self):
+        tl = self._tl("INV-999", 100, 200, 300, 220)
+        f = self._field("invoice_number", "INV-999")
+        f["bbox"] = (1, 2, 3, 4)
+        anchor.anchor_fields([f], [tl], [])
+        assert f["bbox"] == (1, 2, 3, 4)
+
+    def test_case_insensitive_match(self):
+        tl = self._tl("acme corp", 50, 100, 300, 120)
+        f = self._field("vendor_name", "ACME CORP")
+        anchor.anchor_fields([f], [tl], [])
+        assert f["bbox"] is not None
