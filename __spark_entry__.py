@@ -55,6 +55,11 @@ def entry(spark: SparkSession) -> DataFrame:
                 "url", "doc_id", "status", "file_type", "title", "raw_text",
                 (F.col("raw_text") == F.col("expected_text")).alias("byte_identical"),
                 F.size("fields").alias("n_fields"),
+                # round-2 document model surfaced: multi-page fan-out and
+                # K9 anchoring are visible per row
+                "page_count",
+                F.size(F.filter("fields", lambda f: f["bbox"].isNotNull()))
+                .alias("n_anchored_fields"),
                 F.col("validation.passed").alias("validation_passed"),
                 "n_chars", "partition_id")
             .orderBy("url"))

@@ -45,6 +45,21 @@ def windowed_lang_counts(pages_stream: DataFrame) -> DataFrame:
                     "lang", "n_pages", "n_bytes"))
 
 
+def streaming_exact_dedup(pages_stream: DataFrame,
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Streaming member of the dedup family: drop re-crawled identical
+    content within the watermark horizon. Key = (url, sha2(html)) — the
+    same MERGE key as the batch resume filter (engine.checkpoint), so a
+    page that re-arrives with identical bytes inside the horizon is
+    dropped BEFORE the expensive extraction stage, and the state store
+    stays bounded (dropDuplicatesWithinWatermark evicts keys older than
+    the watermark, unlike unbounded dropDuplicates)."""
+    keyed = pages_stream.withColumn(
+        "content_key", F.sha2(F.col("html"), 256))
+    return (keyed.withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["url", "content_key"]))
+
+
 def run_stream_to_snapshots(spark: SparkSession, input_dir: str,
                             output_root: str, checkpoint_dir: str,
                             available_now: bool = True):

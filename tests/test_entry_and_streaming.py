@@ -81,3 +81,26 @@ class TestStreaming:
         q.awaitTermination(120)
         rows = spark.table("lang_counts_c").collect()
         assert sum(r.n_pages for r in rows) == 40
+
+    def test_streaming_exact_dedup(self, spark, tmp_path):
+        """Duplicate rows (same url + identical bytes) inside the watermark
+        horizon are dropped; distinct content for the same url survives."""
+        from horizon_ocr_python_spark.engine.pipeline import pages_dataframe
+        from horizon_ocr_python_spark.streaming.stream import (
+            read_pages_stream, streaming_exact_dedup)
+
+        d = str(tmp_path / "dup_in")
+        base = pages_dataframe(spark, 10, seed=42)
+        changed = base.limit(3).withColumn(
+            "html", F.concat(F.col("html"), F.lit(b"<p>v2</p>")))
+        # 10 originals + 10 exact re-crawls + 3 changed re-crawls
+        base.unionByName(base).unionByName(changed).write.parquet(d)
+
+        deduped = streaming_exact_dedup(read_pages_stream(spark, d))
+        q = (deduped.writeStream.format("memory")
+             .queryName("dedup_out").outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT url, content_key FROM dedup_out").collect()
+        assert len(got) == 13  # 10 unique + 3 changed
+        assert len({(r.url, r.content_key) for r in got}) == 13
