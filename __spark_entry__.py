@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fields_candidates": pagemodel.fields_candidates,
         "k9_substring_span": pagemodel.k9_substring_span,
         "r6_style_merge": pagemodel.r6_style_merge,
+        "k8_overlap_join": pagemodel.k8_overlap_join,
         # composed end-to-end flows
         "embedding_cosine_pairs": compose.embedding_cosine_pairs,
         "neardup_verdict": compose.neardup_verdict,
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "fields_candidates": pagemodel.FIELDS_CANDIDATES_SQL,
         "k9_substring_span": pagemodel.K9_SUBSTRING_SPAN_SQL,
         "r6_style_merge": pagemodel.R6_STYLE_MERGE_SQL,
+        "k8_overlap_join": pagemodel.K8_OVERLAP_JOIN_SQL,
         "embedding_cosine_pairs": compose.EMBEDDING_COSINE_PAIRS_SQL,
         "neardup_verdict": compose.NEARDUP_VERDICT_SQL,
         "supplier_region_rollup": compose.SUPPLIER_REGION_ROLLUP_SQL,

@@ -320,3 +320,80 @@ WHERE wstart + 1 < mstart + length(value)
 GROUP BY doc_id, value, mstart
 ORDER BY doc_id
 """
+
+
+# --- K8: OCR<->KIE bbox-overlap merge as relational algebra --------------------
+
+OVERLAP_THRESHOLD = 0.3  # kernel/fuse.boxes_overlap (reference fuse.py:459-476)
+
+
+def k8_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 OCR<->KIE merge (kernel.fuse.boxes_overlap; reference
+    fuse.py:459-476): within each document, match region boxes against
+    field boxes when intersection / smaller-box-area >= 0.3.
+
+    The join key is doc_id — K8 merges WITHIN a document, so this is an
+    equi-join whose per-key fan-out is the (bounded) per-document box
+    count, never a global cross join. Substrate: one OCR box per doc at a
+    doc_id-derived position; three KIE box variants per doc at offsets
+    that exercise full overlap (kept), sliver overlap below the ratio
+    (dropped), and disjoint (dropped)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    ax1 = (F.col("doc_id") * 13 % 200).cast("double")
+    ay1 = (F.col("doc_id") * 7 % 150).cast("double")
+    a = docs.select("doc_id", ax1.alias("ax1"), ay1.alias("ay1"),
+                    (ax1 + 40).alias("ax2"), (ay1 + 20).alias("ay2"))
+    k = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k")
+    b = (docs.select("doc_id", k)
+         .select("doc_id", "k",
+                 (ax1 + F.when(F.col("k") == 0, 5)
+                  .when(F.col("k") == 1, 35).otherwise(300)).alias("bx1"),
+                 (ay1 + F.when(F.col("k") == 0, 2)
+                  .when(F.col("k") == 1, 15).otherwise(300)).alias("by1")))
+    b = b.select("doc_id", "k", "bx1", "by1",
+                 (F.col("bx1") + 30).alias("bx2"),
+                 (F.col("by1") + 10).alias("by2"))
+    j = a.join(b, "doc_id")
+    ix = F.greatest(F.lit(0.0),
+                    F.least("ax2", "bx2") - F.greatest("ax1", "bx1"))
+    iy = F.greatest(F.lit(0.0),
+                    F.least("ay2", "by2") - F.greatest("ay1", "by1"))
+    inter = ix * iy
+    area_a = (F.col("ax2") - F.col("ax1")) * (F.col("ay2") - F.col("ay1"))
+    area_b = (F.col("bx2") - F.col("bx1")) * (F.col("by2") - F.col("by1"))
+    ratio = F.round(inter / F.least(area_a, area_b), 6)
+    return (j.select("doc_id", "k", ratio.alias("overlap_ratio"))
+            .filter(F.col("overlap_ratio") >= OVERLAP_THRESHOLD)
+            .orderBy("doc_id", "k"))
+
+
+K8_OVERLAP_JOIN_SQL = f"""
+WITH a AS (
+  SELECT doc_id,
+         CAST(doc_id * 13 % 200 AS DOUBLE) AS ax1,
+         CAST(doc_id * 7 % 150 AS DOUBLE) AS ay1,
+         CAST(doc_id * 13 % 200 AS DOUBLE) + 40 AS ax2,
+         CAST(doc_id * 7 % 150 AS DOUBLE) + 20 AS ay2
+  FROM documents
+), b AS (
+  SELECT doc_id, k,
+         CAST(doc_id * 13 % 200 AS DOUBLE)
+           + CASE WHEN k = 0 THEN 5 WHEN k = 1 THEN 35 ELSE 300 END AS bx1,
+         CAST(doc_id * 7 % 150 AS DOUBLE)
+           + CASE WHEN k = 0 THEN 2 WHEN k = 1 THEN 15 ELSE 300 END AS by1
+  FROM documents, (SELECT unnest(range(3)) AS k)
+), jb AS (
+  SELECT doc_id, k, bx1, by1, bx1 + 30 AS bx2, by1 + 10 AS by2 FROM b
+)
+SELECT a.doc_id, jb.k,
+       round(greatest(0.0, least(ax2, bx2) - greatest(ax1, bx1))
+             * greatest(0.0, least(ay2, by2) - greatest(ay1, by1))
+             / least((ax2 - ax1) * (ay2 - ay1),
+                     (bx2 - bx1) * (by2 - by1)), 6) AS overlap_ratio
+FROM a JOIN jb ON a.doc_id = jb.doc_id
+WHERE round(greatest(0.0, least(ax2, bx2) - greatest(ax1, bx1))
+            * greatest(0.0, least(ay2, by2) - greatest(ay1, by1))
+            / least((ax2 - ax1) * (ay2 - ay1),
+                    (bx2 - bx1) * (by2 - by1)), 6) >= {OVERLAP_THRESHOLD}
+ORDER BY a.doc_id, jb.k
+"""
