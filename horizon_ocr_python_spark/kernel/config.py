@@ -47,6 +47,7 @@ class ExtractionConfig:
     max_payload_bytes: int = 8 * 1024 * 1024   # engine length cap
     min_block_chars: int = 3                   # html_extract.MIN_BLOCK_CHARS
     max_link_density: float = 0.33             # html_extract.MAX_LINK_DENSITY
+    min_text_density: float = 0.0              # chars/(1+tags); 0 = off
 
 
 @dataclass

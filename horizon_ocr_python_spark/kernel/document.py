@@ -85,6 +85,7 @@ def _resolve_settings(config: Optional[dict], fusion_strategy: str) -> dict:
         "low_confidence": thr.get("low_confidence", 0.5),
         "min_block_chars": extr.get("min_block_chars"),
         "max_link_density": extr.get("max_link_density"),
+        "min_text_density": extr.get("min_text_density") or None,
     }
 
 
@@ -271,7 +272,8 @@ def _extract(url: str, payload: bytes, warc_ts: Any, lang: str,
     else:
         hx = html_extract.extract_html(
             payload, min_block_chars=st["min_block_chars"],
-            max_link_density=st["max_link_density"])
+            max_link_density=st["max_link_density"],
+            min_text_density=st["min_text_density"])
         n_pages = 1
         page_text_lines = {1: [{"text": b["text"], "page": 1, "bbox": None,
                                 "font_size": None, "words": [], "style": None}

@@ -93,6 +93,7 @@ class _Extractor(HTMLParser):
         self._buf: list[str] = []
         self._buf_link_chars = 0
         self._buf_tag = "div"
+        self._buf_tags = 0  # inner tags seen in the current block (density)
 
     # -- helpers ------------------------------------------------------------
 
@@ -105,10 +106,12 @@ class _Extractor(HTMLParser):
                 "text": text,
                 "n_chars": len(text),
                 "link_chars": min(self._buf_link_chars, len(text)),
+                "n_tags": self._buf_tags,
                 "boiler": self.boiler_depth > 0,
             })
         self._buf = []
         self._buf_link_chars = 0
+        self._buf_tags = 0
 
     @staticmethod
     def _is_boiler_attrs(attrs: list[tuple[str, Optional[str]]]) -> bool:
@@ -161,6 +164,11 @@ class _Extractor(HTMLParser):
         if tag in BLOCK_TAGS:
             self._flush()
             self._buf_tag = tag
+        else:
+            # inline tag inside the current block: the text-density signal
+            # counts markup structure per block (chars / (1 + tags) — the
+            # boilerpipe-style density the layout classifier uses)
+            self._buf_tags += 1
 
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_TAGS:
@@ -227,7 +235,8 @@ class _Extractor(HTMLParser):
 
 def classify_block(block: dict, *,
                    min_block_chars: int = None,
-                   max_link_density: float = None) -> tuple[str, bool, str]:
+                   max_link_density: float = None,
+                   min_text_density: float = None) -> tuple[str, bool, str]:
     """Classify a block -> (role, dropped, drop_reason).
 
     Deterministic rules, in order (mirrors the precedence style of
@@ -252,6 +261,15 @@ def classify_block(block: dict, *,
         return ("nav_like", True, "link_density")
     if block["n_chars"] < min_block_chars:
         return ("noise", True, "too_short")
+    # text-density gate (boilerpipe-style chars-per-tag; the second DOM
+    # heuristic besides link density). Off by default (min_text_density
+    # None/0) — the byte-identity contract is pinned with it off; crawl
+    # configs raise it via extraction.min_text_density to shed markup-heavy
+    # widget blocks that pass the link-density test.
+    if min_text_density:
+        density = block["n_chars"] / (1 + block.get("n_tags", 0))
+        if density < min_text_density:
+            return ("low_density", True, "text_density")
     if tag in ("li", "dt", "dd"):
         return ("list_item", False, "")
     return ("paragraph", False, "")
@@ -259,11 +277,13 @@ def classify_block(block: dict, *,
 
 def extract_html(html: bytes | str, *,
                  min_block_chars: int = None,
-                 max_link_density: float = None) -> dict[str, Any]:
+                 max_link_density: float = None,
+                 min_text_density: float = None) -> dict[str, Any]:
     """Extract main content from one HTML document. Pure and deterministic.
 
-    `min_block_chars` / `max_link_density` override the module thresholds
-    (C7 config `extraction.*` reaches this boundary; defaults unchanged).
+    `min_block_chars` / `max_link_density` / `min_text_density` override the
+    module thresholds (C7 config `extraction.*` reaches this boundary;
+    defaults unchanged — text density defaults OFF).
     """
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
@@ -278,12 +298,14 @@ def extract_html(html: bytes | str, *,
     for blk in parser.blocks:
         role, dropped, reason = classify_block(
             blk, min_block_chars=min_block_chars,
-            max_link_density=max_link_density)
+            max_link_density=max_link_density,
+            min_text_density=min_text_density)
         link_density = (blk["link_chars"] / blk["n_chars"]) if blk["n_chars"] else 0.0
         out = {
             "index": blk["index"], "tag": blk["tag"], "role": role,
             "text": blk["text"], "n_chars": blk["n_chars"],
             "link_chars": blk["link_chars"], "link_density": link_density,
+            "text_density": blk["n_chars"] / (1 + blk.get("n_tags", 0)),
             "dropped": dropped, "drop_reason": reason,
         }
         blocks.append(out)

@@ -152,3 +152,35 @@ class TestZlibRealness:
             pdf_text.build_pdf_pages([PAGE1, PAGE2], compress=True))
         assert plain == comp
         assert zlib  # imported for documentation: stdlib-only dependency
+
+
+class TestTextDensity:
+    HTML = (b"<html><body>"
+            b"<p>A clean paragraph of plain prose with many words and no markup</p>"
+            b"<p><b>w</b><i>i</i><b>d</b><i>g</i><b>e</b><i>t</i>"
+            b"<b>s</b><i>p</i><b>a</b><i>m</i></p>"
+            b"</body></html>")
+
+    def test_density_signal_exposed(self):
+        from horizon_ocr_python_spark.kernel.html_extract import extract_html
+
+        hx = extract_html(self.HTML)
+        dens = {b["text"]: b["text_density"] for b in hx["blocks"]}
+        prose = next(v for k, v in dens.items() if "prose" in k)
+        widget = next(v for k, v in dens.items() if "prose" not in k)
+        assert prose > 10 and widget < 1.5
+
+    def test_default_off_keeps_contract(self):
+        base = document.extract_document("https://x/h", self.HTML)
+        assert "widgetspam" in base["raw_text"]
+
+    def test_config_gate_drops_markup_heavy_block(self):
+        cfg = load_config(data={"extraction": {"min_text_density": 3.0}},
+                          env={}).to_dict()
+        doc = document.extract_document("https://x/h", self.HTML, config=cfg)
+        assert "widgetspam" not in doc["raw_text"]
+        assert "clean paragraph" in doc["raw_text"]
+
+    def test_env_override(self):
+        cfg = load_config(env={"HSP_EXTRACTION_MIN_TEXT_DENSITY": "3.0"}).to_dict()
+        assert cfg["extraction"]["min_text_density"] == 3.0
