@@ -87,6 +87,12 @@ ORDER BY ia, ib
 
 NEIGHBOR_WIDTH = 4  # sorted-neighborhood links per member in giant buckets
 CC_MAX_ITER = 30    # hash-to-min + pointer jumping: O(log n) in practice
+# Verified near-dup EDGES (not documents) below this count are union-found
+# on the driver: the edge list of a dedup graph is orders of magnitude
+# smaller than the corpus (only near-duplicates appear), and a bounded
+# collect of it is the standard small-graph fast path (GraphX/GraphFrames
+# do the same); bigger graphs take the distributed loop below.
+DRIVER_CC_MAX_EDGES = 2_000_000
 
 
 def _cc_labels(edges: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -101,6 +107,33 @@ def _cc_labels(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     sym = (edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
            .unionByName(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
            .distinct().localCheckpoint())
+
+    n_edges = sym.count()
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        # small-graph fast path: union-find over the collected edge list
+        # (bounded by DRIVER_CC_MAX_EDGES), labels broadcast back as a tiny
+        # join side. Semantics identical to the loop: label = component min.
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in sym.collect():
+            ra, rb = find(r.x), find(r.y)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        label_rows = [(n, find(n)) for n in list(parent)]
+        spark = edges.sparkSession
+        labels = spark.createDataFrame(label_rows, "doc_id: long, label: long")
+        return (nodes.join(F.broadcast(labels), "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("label", "doc_id").alias("label")))
     # iterate ONLY over nodes that appear in an edge — at corpus scale the
     # dup-graph members are a small fraction of all documents, so the loop's
     # working set is edge-sized, not corpus-sized. Isolated docs join back

@@ -97,3 +97,27 @@ class TestNeardupVerdictCC:
         assert rows[1].canonical_id == 0 and rows[1].is_duplicate
         assert rows[2].canonical_id == 0 and rows[2].is_duplicate  # via closure
         assert not rows[3].is_duplicate
+
+    def test_distributed_cc_path_matches_driver_path(self, spark, tmp_path,
+                                                     monkeypatch):
+        """Force the distributed label-propagation fallback (edge count cap
+        = 0) and assert it produces the same components as the driver
+        union-find fast path."""
+        from horizon_ocr_python_spark.operators import compose
+
+        words = [f"w{i}" for i in range(40)]
+        a = " ".join(words)
+        b = " ".join(words[2:] + ["x1", "x2"])
+        c = " ".join(words[4:] + ["x1", "x2", "x3", "x4"])
+        df = spark.createDataFrame(
+            [(0, a), (1, b), (2, c), (3, "other unrelated content words")],
+            "doc_id: long, text: string")
+        df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+        fast = {(r.doc_id, r.canonical_id, r.is_duplicate)
+                for r in compose.neardup_verdict(spark, str(tmp_path)).collect()}
+        monkeypatch.setattr(compose, "DRIVER_CC_MAX_EDGES", 0)
+        slow = {(r.doc_id, r.canonical_id, r.is_duplicate)
+                for r in compose.neardup_verdict(spark, str(tmp_path)).collect()}
+        assert fast == slow
+        assert (2, 0, True) in fast  # transitive closure via chain
