@@ -3,9 +3,10 @@ stubbed codecs.
 
 Design per the training-data-pipeline brief: media travel as opaque `binary`
 columns with a typed metadata struct; decode / feature-extract / resize /
-frame-sample run as Arrow-batched UDFs over mapInPandas. PNG and baseline
-JPEG decode for REAL (kernel.png / kernel.jpeg, stdlib+numpy only); other
-formats (TIFF/WebP/BMP, progressive JPEG) stay stubbed: `decode_image`
+frame-sample run as Arrow-batched UDFs over mapInPandas. PNG, baseline
+JPEG, uncompressed TIFF and BMP decode for REAL (kernel.png / kernel.jpeg /
+kernel.simple_images, stdlib+numpy only); the remaining formats (WebP,
+progressive JPEG, compressed TIFF) stay stubbed: `decode_image`
 raises NotImplementedError unless `fake=True`, in which case it produces a
 deterministic fake decode whose metadata is parsed from real container
 headers (PNG IHDR / JPEG SOF0) — schema, batch shape and partitioning are
@@ -47,6 +48,21 @@ def parse_image_meta(data: bytes) -> dict:
             seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
             i += 2 + seg_len
         return {"format": "jpeg", "width": 0, "height": 0, "n_bytes": n}
+    if data[:2] == b"BM" and n >= 26:
+        w, h = struct.unpack("<ii", data[18:26])
+        return {"format": "bmp", "width": int(abs(w)), "height": int(abs(h)),
+                "n_bytes": n}
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        try:
+            from .simple_images import decode_tiff
+
+            img = decode_tiff(data)
+            return {"format": "tiff", "width": int(img.shape[1]),
+                    "height": int(img.shape[0]), "n_bytes": n}
+        except Exception:
+            return {"format": "tiff", "width": 0, "height": 0, "n_bytes": n}
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return {"format": "webp", "width": 0, "height": 0, "n_bytes": n}
     return {"format": "unknown", "width": 0, "height": 0, "n_bytes": n}
 
 
@@ -75,6 +91,14 @@ def decode_image(data: bytes, fake: bool = False) -> np.ndarray:
 
             rgb = decode_jpeg(data)
             return np.ascontiguousarray(rgb[..., ::-1])  # RGB -> BGR
+        if meta["format"] == "bmp":
+            from .simple_images import decode_bmp
+
+            return np.ascontiguousarray(decode_bmp(data)[..., ::-1])
+        if meta["format"] == "tiff":
+            from .simple_images import decode_tiff
+
+            return np.ascontiguousarray(decode_tiff(data)[..., ::-1])
         raise NotImplementedError(
             f"{meta['format']} decoding requires a codec library (not in "
             "this container). Pass fake=True for the deterministic test "

@@ -280,6 +280,13 @@ def sniff_type(data: bytes) -> str:
         return "pdf"
     if data[:8] == b"\x89PNG\r\n\x1a\n" or data[:3] == b"\xff\xd8\xff":
         return "image"
+    # BMP needs more than the 2-byte magic ("BM" can start plain text):
+    # require a plausible DIB header size at offset 14
+    if (data[:2] == b"BM" and len(data) >= 54
+            and data[14] in (12, 40, 52, 56, 108, 124) and data[15] == 0):
+        return "image"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "image"
     head = data[:256].lstrip()[:64].lower()
     if head.startswith((b"<!doctype", b"<html")) or b"<html" in data[:1024].lower():
         return "html"

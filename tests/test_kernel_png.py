@@ -101,9 +101,9 @@ class TestMultimodalRealDecode:
         # malformed JPEG -> clean error (not a stub any more: kernel.jpeg)
         with pytest.raises(ValueError):
             M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
-        # TIFF/WebP remain declared stubs
+        # WebP remains the declared stub (TIFF/BMP decode for real now)
         with pytest.raises(NotImplementedError):
-            M.decode_image(b"II*\x00" + b"\x00" * 32)
+            M.decode_image(b"RIFF" + b"\x00" * 4 + b"WEBP" + b"\x00" * 20)
 
     def test_gray_png_promoted_to_bgr(self):
         img = np.full((6, 6), 77, dtype=np.uint8)
