@@ -142,11 +142,6 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return codes
 
 
-def _build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    return {(ln, c): s for s, (c, ln) in _build_codes(bits, vals).items()}
-
-
 @lru_cache(maxsize=64)
 def _decode_lut(bits: tuple, vals: tuple) -> np.ndarray:
     """16-bit-prefix lookup table: lut[prefix] = symbol<<8 | code_length
