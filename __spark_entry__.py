@@ -101,6 +101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v4_currency_validate": validators_sql.v4_currency_validate,
         "v5_regex_validate": validators_sql.v5_regex_validate,
         "r3_font_bins": validators_sql.r3_font_bins,
+        "v6_non_empty": validators_sql.v6_non_empty,
+        "v7_validator_dispatch": validators_sql.v7_validator_dispatch,
+        "v8_cross_field": validators_sql.v8_cross_field,
         # relational coverage (gap list §2.9)
         "tpch_q1_pricing_summary": relational.pricing_summary,
         "tpch_q3_top_revenue": relational.top_revenue_orders,
@@ -167,6 +170,9 @@ def oracle_sql() -> dict[str, str]:
         "v4_currency_validate": validators_sql.V4_CURRENCY_VALIDATE_SQL,
         "v5_regex_validate": validators_sql.V5_REGEX_VALIDATE_SQL,
         "r3_font_bins": validators_sql.R3_FONT_BINS_SQL,
+        "v6_non_empty": validators_sql.V6_NON_EMPTY_SQL,
+        "v7_validator_dispatch": validators_sql.V7_VALIDATOR_DISPATCH_SQL,
+        "v8_cross_field": validators_sql.V8_CROSS_FIELD_SQL,
         "tpch_q1_pricing_summary": relational.PRICING_SUMMARY_SQL,
         "tpch_q3_top_revenue": relational.TOP_REVENUE_ORDERS_SQL,
         "rollup_pricing": relational.ROLLUP_PRICING_SQL,

@@ -62,10 +62,16 @@ def find_field_anchor(value: Any, text_lines: list[dict],
         if tl["text"].strip().lower() == norm and tl.get("bbox") is not None:
             return tuple(tl["bbox"]), tl.get("page")
 
-    # 3) substring span -> merged word boxes (cursor scan, orchestrator.py:1259-1281)
+    # 3) substring span -> merged word boxes (cursor scan, orchestrator.py:1259-1281).
+    # The reference STOPS at the first line containing the value and returns
+    # that line's bbox unconditionally (even None) — later lines are never
+    # considered, so a boxless first match anchors nothing rather than
+    # anchoring to a different line.
     for tl in text_lines:
         line_lower = tl["text"].lower()
-        if norm in line_lower and tl.get("words"):
+        if norm not in line_lower:
+            continue
+        if tl.get("words"):
             start_idx = line_lower.index(norm)
             end_idx = start_idx + len(norm)
             span_boxes = []
@@ -80,14 +86,19 @@ def find_field_anchor(value: Any, text_lines: list[dict],
                 cursor = w_end
             if span_boxes:
                 return merge_bboxes(span_boxes), tl.get("page")
-            if tl.get("bbox") is not None:  # fallback: whole line
-                return tuple(tl["bbox"]), tl.get("page")
+        if tl.get("bbox") is not None:  # fallback: whole line
+            return tuple(tl["bbox"]), tl.get("page")
+        return None, None  # first match has no bbox: stop, no false anchoring
 
-    # 4) table cell match (first cell carrying a bbox)
+    # 4) table cell match: the FIRST text-matching cell decides — its
+    # bbox-or-None is returned (orchestrator.py _find_bbox stops at the
+    # first equal cell rather than scanning for one that carries a box).
     for tbl in tables or []:
         for cell in tbl.get("cells") or []:
-            if cell.get("text", "").strip().lower() == norm and cell.get("bbox") is not None:
-                return tuple(cell["bbox"]), cell.get("page")
+            if cell.get("text", "").strip().lower() == norm:
+                if cell.get("bbox") is not None:
+                    return tuple(cell["bbox"]), cell.get("page")
+                return None, None
 
     return None, None
 

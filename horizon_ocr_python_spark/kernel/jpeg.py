@@ -417,6 +417,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 allows runs of 0xFF fill bytes pre-marker
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:

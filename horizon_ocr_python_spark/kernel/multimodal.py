@@ -54,11 +54,11 @@ def parse_image_meta(data: bytes) -> dict:
                 "n_bytes": n}
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         try:
-            from .simple_images import decode_tiff
+            from .simple_images import tiff_dims
 
-            img = decode_tiff(data)
-            return {"format": "tiff", "width": int(img.shape[1]),
-                    "height": int(img.shape[0]), "n_bytes": n}
+            w, h = tiff_dims(data)  # IFD-only: O(header), no pixel decode
+            return {"format": "tiff", "width": int(w), "height": int(h),
+                    "n_bytes": n}
         except Exception:
             return {"format": "tiff", "width": 0, "height": 0, "n_bytes": n}
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":

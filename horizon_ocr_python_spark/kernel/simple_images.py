@@ -126,21 +126,26 @@ def encode_tiff(img: np.ndarray, big_endian: bool = False) -> bytes:
     return header + pixels + ifd + extra
 
 
-def decode_tiff(data: bytes) -> np.ndarray:
-    """Decode baseline uncompressed TIFF to HxWx3 RGB uint8."""
-    if data[:2] == b"II":
+def read_ifd(data: bytes, base: int = 0):
+    """Parse the first IFD of a TIFF structure whose header starts at
+    `base` (0 for a .tif file; the byte after "Exif\\0\\0" for a JPEG APP1
+    payload — all TIFF offsets are relative to the header start). Returns
+    (endianness, values) where values(tag, default) -> list of ints.
+    O(#tags) — never touches pixel data, so metadata-only callers stay
+    O(header) regardless of image size."""
+    if data[base:base + 2] == b"II":
         e = "<"
-    elif data[:2] == b"MM":
+    elif data[base:base + 2] == b"MM":
         e = ">"
     else:
         raise ValueError("not a TIFF")
-    magic, ifd_off = struct.unpack(e + "HI", data[2:8])
+    magic, ifd_off = struct.unpack(e + "HI", data[base + 2:base + 8])
     if magic != 42:
         raise ValueError("bad TIFF magic")
-    n = struct.unpack(e + "H", data[ifd_off:ifd_off + 2])[0]
+    n = struct.unpack(e + "H", data[base + ifd_off:base + ifd_off + 2])[0]
     tags: dict[int, tuple[int, int, bytes]] = {}
     for i in range(n):
-        off = ifd_off + 2 + 12 * i
+        off = base + ifd_off + 2 + 12 * i
         tag, typ, count = struct.unpack(e + "HHI", data[off:off + 8])
         tags[tag] = (typ, count, data[off + 8:off + 12])
 
@@ -154,8 +159,21 @@ def decode_tiff(data: bytes) -> np.ndarray:
         fmt = {1: "B", 3: "H", 4: "I"}[typ]
         total = size * count
         buf = raw[:total] if total <= 4 else \
-            data[struct.unpack(e + "I", raw)[0]:][:total]
+            data[base + struct.unpack(e + "I", raw)[0]:][:total]
         return list(struct.unpack(e + fmt * count, buf))
+
+    return e, values
+
+
+def tiff_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from the IFD alone — the metadata-only fast path."""
+    _, values = read_ifd(data)
+    return values(_TAG_WIDTH, [0])[0], values(_TAG_HEIGHT, [0])[0]
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Decode baseline uncompressed TIFF to HxWx3 RGB uint8."""
+    e, values = read_ifd(data)
 
     compression = values(_TAG_COMPRESSION, [1])[0]
     if compression != 1:
@@ -163,6 +181,12 @@ def decode_tiff(data: bytes) -> np.ndarray:
     bits = values(_TAG_BITS, [8])
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"TIFF bits {bits}")
+    # photometric 0 (WhiteIsZero) is handled by inverting the plane below;
+    # 1 (BlackIsZero) / 2 (RGB) decode directly; anything else (palette,
+    # CMYK, YCbCr...) is a declared codec boundary, not a silent misdecode.
+    photometric = values(_TAG_PHOTOMETRIC, [1])[0]
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photometric}")
     w = values(_TAG_WIDTH)[0]
     h = values(_TAG_HEIGHT)[0]
     spp = values(_TAG_SAMPLES, [1])[0]
@@ -170,6 +194,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
     counts = values(_TAG_STRIP_COUNTS)
     raw = b"".join(data[o:o + c] for o, c in zip(offsets, counts))
     arr = np.frombuffer(raw, dtype=np.uint8, count=h * w * spp)
+    if photometric == 0:  # WhiteIsZero: invert to the BlackIsZero convention
+        arr = 255 - arr
     if spp == 1:
         gray = arr.reshape(h, w)
         return np.stack([gray] * 3, axis=-1)

@@ -38,9 +38,14 @@ def s1_page_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "tokens",
         F.size("tokens").alias("n_tokens_total"),
         F.ceil(F.size("tokens") / float(PAGE_TOKENS)).cast("int").alias("page_count"))
+    # greatest(page_count, 1): an empty-text doc still yields one (empty)
+    # page. Also dodges a Spark/DuckDB divergence — Spark's sequence(1, 0)
+    # yields a DESCENDING [1, 0] while DuckDB's generate_series(1, 0) is
+    # empty, so an unguarded explode would fan out phantom pages.
     pages = toks.select(
         "doc_id", "tokens", "n_tokens_total", "page_count",
-        F.explode(F.sequence(F.lit(1), F.col("page_count"))).alias("page"))
+        F.explode(F.sequence(F.lit(1), F.greatest(F.col("page_count"), F.lit(1))))
+        .alias("page"))
     page_toks = F.slice(F.col("tokens"),
                         (F.col("page") - 1) * PAGE_TOKENS + 1, PAGE_TOKENS)
     return (pages.select(
@@ -63,16 +68,16 @@ WITH toks AS (
   FROM toks
 ), pages AS (
   SELECT doc_id, tokens, n_tokens_total, page_count,
-         unnest(generate_series(1, page_count)) AS page
+         unnest(generate_series(1, greatest(page_count, 1))) AS page
   FROM sized
 )
 SELECT doc_id, CAST(page AS INT) AS page,
        CAST(len(tokens[(page-1)*{PAGE_TOKENS}+1 :
                        least(page*{PAGE_TOKENS}, len(tokens))]) AS INT)
          AS n_page_tokens,
-       CAST(length(array_to_string(
+       CAST(coalesce(length(array_to_string(
            tokens[(page-1)*{PAGE_TOKENS}+1 :
-                  least(page*{PAGE_TOKENS}, len(tokens))], ' ')) AS INT)
+                  least(page*{PAGE_TOKENS}, len(tokens))], ' ')), 0) AS INT)
          AS n_page_chars,
        page_count, n_tokens_total
 FROM pages

@@ -221,3 +221,187 @@ SELECT p_partkey, p_size,
 FROM part
 ORDER BY p_partkey
 """
+
+
+def v6_non_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6 NonEmptyValidator as expressions (validators.py:412-435): the
+    None / whitespace-only / non-empty trichotomy with the reference's
+    exact messages, over values synthesized to hit every branch."""
+    cust = table(spark, sf_dir, "customer")
+    code = F.col("c_custkey") % 5
+    value = (F.when(code == 0, F.lit(None).cast("string"))
+             .when(code == 1, F.lit(""))
+             .when(code == 2, F.lit("   "))
+             .when(code == 3, F.col("c_name"))
+             .otherwise(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))))
+    passed = value.isNotNull() & (F.trim(value) != "")
+    message = (F.when(value.isNull(), "Value is None")
+               .when(F.trim(value) == "", "Value is empty")
+               .otherwise("Value is not empty"))
+    return (cust.select("c_custkey", value.alias("value"),
+                        passed.alias("passed"), message.alias("message"))
+            .orderBy("c_custkey"))
+
+
+V6_NON_EMPTY_SQL = """
+WITH vals AS (
+  SELECT c_custkey,
+    CASE c_custkey % 5
+      WHEN 0 THEN NULL WHEN 1 THEN '' WHEN 2 THEN '   '
+      WHEN 3 THEN c_name ELSE '  ' || c_name || '  ' END AS value
+  FROM customer
+)
+SELECT c_custkey, value,
+       value IS NOT NULL AND trim(value) <> '' AS passed,
+       CASE WHEN value IS NULL THEN 'Value is None'
+            WHEN trim(value) = '' THEN 'Value is empty'
+            ELSE 'Value is not empty' END AS message
+FROM vals
+ORDER BY c_custkey
+"""
+
+
+_V7_FIELDS = [
+    (0, "invoice_number", "string"), (1, "PO Number", "string"),
+    (2, "customer_email", "string"), (3, "phone_mobile", "string"),
+    (4, "invoice_date", "date"), (5, "total", "currency"),
+    (6, "notes", "string"), (7, "line_count", "integer"),
+]
+
+
+def v7_validator_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 validator auto-selection (validators.py:457-477) as a CASE over
+    the NAME RULES themselves (contains/startswith on the lowered name),
+    not a lookup table — exercising every branch: date/currency by type,
+    invoice-number / po-number / email / phone by name, non_empty always."""
+    docs = table(spark, sf_dir, "documents")
+    code = F.col("doc_id") % len(_V7_FIELDS)
+    fname = F.lit(None).cast("string")
+    dtype = F.lit(None).cast("string")
+    for k, n, t in reversed(_V7_FIELDS):
+        fname = F.when(code == k, n).otherwise(fname)
+        dtype = F.when(code == k, t).otherwise(dtype)
+    low = F.lower(fname)
+    extra = (
+        F.when(dtype == "date", "date")
+        .when(dtype == "currency", "amount")
+        .when(dtype == "string",
+              F.when(low.contains("invoice") & low.contains("number"),
+                     "regex:invoice_number")
+              .when(low.startswith("po") & low.contains("number"),
+                    "regex:po_number")
+              .when(low.contains("email"), "regex:email")
+              .when(low.contains("phone"), "regex:phone")))
+    validators = F.concat_ws(",", F.lit("non_empty"), extra)
+    return (docs.select("doc_id", fname.alias("field_name"),
+                        dtype.alias("data_type"),
+                        validators.alias("validators"))
+            .orderBy("doc_id"))
+
+
+V7_VALIDATOR_DISPATCH_SQL = f"""
+WITH fields AS (
+  SELECT doc_id,
+    CASE doc_id % 8 {" ".join(f"WHEN {k} THEN '{n}'" for k, n, _ in _V7_FIELDS)}
+    END AS field_name,
+    CASE doc_id % 8 {" ".join(f"WHEN {k} THEN '{t}'" for k, _, t in _V7_FIELDS)}
+    END AS data_type
+  FROM documents
+), dispatched AS (
+  SELECT doc_id, field_name, data_type,
+    CASE WHEN data_type = 'date' THEN 'date'
+         WHEN data_type = 'currency' THEN 'amount'
+         WHEN data_type = 'string' THEN
+           CASE WHEN lower(field_name) LIKE '%invoice%'
+                 AND lower(field_name) LIKE '%number%' THEN 'regex:invoice_number'
+                WHEN lower(field_name) LIKE 'po%'
+                 AND lower(field_name) LIKE '%number%' THEN 'regex:po_number'
+                WHEN lower(field_name) LIKE '%email%' THEN 'regex:email'
+                WHEN lower(field_name) LIKE '%phone%' THEN 'regex:phone'
+           END
+    END AS extra
+  FROM fields
+)
+SELECT doc_id, field_name, data_type,
+       CASE WHEN extra IS NULL THEN 'non_empty'
+            ELSE 'non_empty,' || extra END AS validators
+FROM dispatched
+ORDER BY doc_id
+"""
+
+
+def v8_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 document-consistency checks in dataset form
+    (validators.py:495-558): per order, extracted-field STRING rows
+    (name, value) are pivoted back to a field map (map_from_entries), the
+    amounts re-parsed from their rendered strings, then the two reference
+    checks run: total == subtotal + tax (tolerance 0.01) and
+    due_date >= invoice_date. Perturbations keyed by orderkey plant
+    deterministic failures for both checks."""
+    orders = table(spark, sf_dir, "orders")
+    # render the extracted-field strings (amounts with $ and 2dp; dates ISO).
+    # All amounts stay EXACT 2dp decimals (no 0.9x multiplications that land
+    # on half-cent boundaries where Spark/DuckDB double rounding diverges).
+    subtotal = F.col("o_totalprice")
+    tax = (F.col("o_orderkey") % 97).cast("double") / 100.0
+    total = (subtotal + tax
+             + F.when(F.col("o_orderkey") % 13 == 0, 5.0).otherwise(0.0))
+    due = F.date_add(F.col("o_orderdate"),
+                     (F.col("o_orderkey") % 11 - 1).cast("int") * 3)
+    fields = orders.select(
+        "o_orderkey",
+        F.map_from_entries(F.array(
+            F.struct(F.lit("subtotal").alias("k"),
+                     F.format_string("$%.2f", subtotal).alias("v")),
+            F.struct(F.lit("tax").alias("k"),
+                     F.format_string("$%.2f", tax).alias("v")),
+            F.struct(F.lit("total").alias("k"),
+                     F.format_string("$%.2f", total).alias("v")),
+            F.struct(F.lit("invoice_date").alias("k"),
+                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("v")),
+            F.struct(F.lit("due_date").alias("k"),
+                     F.date_format(due, "yyyy-MM-dd").alias("v")),
+        )).alias("m"))
+
+    def amt(key):  # V1 parse: strip '$', cast
+        return F.replace(fields["m"][key], F.lit("$"), F.lit("")).cast("double")
+
+    calculated = F.round(amt("subtotal") + amt("tax"), 2)
+    total_passed = F.abs(F.round(amt("total") - calculated, 2)) <= 0.01
+    date_passed = (F.to_date(fields["m"]["due_date"])
+                   >= F.to_date(fields["m"]["invoice_date"]))
+    return (fields.select(F.col("o_orderkey").alias("orderkey"),
+                          amt("total").alias("total"),
+                          calculated.alias("calculated"),
+                          total_passed.alias("total_passed"),
+                          date_passed.alias("date_order_passed"))
+            .orderBy("orderkey"))
+
+
+V8_CROSS_FIELD_SQL = """
+WITH rendered AS (
+  SELECT o_orderkey,
+    printf('$%.2f', o_totalprice) AS subtotal_s,
+    printf('$%.2f', CAST(o_orderkey % 97 AS DOUBLE) / 100.0) AS tax_s,
+    printf('$%.2f', o_totalprice + CAST(o_orderkey % 97 AS DOUBLE) / 100.0
+                    + CASE WHEN o_orderkey % 13 = 0 THEN 5.0 ELSE 0.0 END)
+      AS total_s,
+    strftime(o_orderdate, '%Y-%m-%d') AS invoice_date_s,
+    strftime(o_orderdate + INTERVAL (((o_orderkey % 11) - 1) * 3) DAY,
+             '%Y-%m-%d') AS due_date_s
+  FROM orders
+), parsed AS (
+  SELECT o_orderkey,
+         CAST(replace(total_s, '$', '') AS DOUBLE) AS total,
+         round(CAST(replace(subtotal_s, '$', '') AS DOUBLE)
+               + CAST(replace(tax_s, '$', '') AS DOUBLE), 2) AS calculated,
+         invoice_date_s, due_date_s
+  FROM rendered
+)
+SELECT o_orderkey AS orderkey, total, calculated,
+       abs(round(total - calculated, 2)) <= 0.01 AS total_passed,
+       CAST(due_date_s AS DATE) >= CAST(invoice_date_s AS DATE)
+         AS date_order_passed
+FROM parsed
+ORDER BY orderkey
+"""

@@ -182,3 +182,30 @@ class TestReferenceParity:
         f = self._field("vendor_name", "ACME CORP")
         anchor.anchor_fields([f], [tl], [])
         assert f["bbox"] is not None
+
+
+class TestFirstMatchStops:
+    """Round-3 ADVICE: strategies 3/4 stop at the FIRST matching line/cell
+    and return its bbox-or-None — they never fall through to a later match
+    (reference _find_bbox / orchestrator.py:1259-1281 semantics)."""
+
+    def test_strategy3_first_boxless_line_stops(self):
+        lines = [
+            _line("pay total 42 now", [], None),           # first match, no bbox
+            _line("total 42", [_word("total", 0, 0, 5, 5),
+                               _word("42", 6, 0, 9, 5)], (0, 0, 9, 5)),
+        ]
+        bbox, page = anchor.find_field_anchor("total 4", lines)
+        assert bbox is None and page is None
+
+    def test_strategy3_line_without_words_uses_line_bbox(self):
+        lines = [_line("grand total 42", None, (3, 4, 5, 6), page=7)]
+        bbox, page = anchor.find_field_anchor("total 4", lines)
+        assert bbox == (3, 4, 5, 6) and page == 7
+
+    def test_strategy4_first_boxless_cell_stops(self):
+        tables = [{"rows": [["$5.00"]],
+                   "cells": [{"text": "$5.00", "bbox": None},
+                             {"text": "$5.00", "bbox": (1, 2, 3, 4)}]}]
+        bbox, page = anchor.find_field_anchor("$5.00", [], tables)
+        assert bbox is None and page is None

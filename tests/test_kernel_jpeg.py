@@ -108,3 +108,15 @@ class TestMultimodalPath:
             if p["kind"] == "image":
                 formats.add(multimodal.parse_image_meta(p["html"])["format"])
         assert formats == {"png", "jpeg"}
+
+
+class TestFillBytes:
+    def test_ff_fill_bytes_before_marker(self):
+        """T.81 allows 0xFF padding before any marker; the segment walker
+        must skip the run instead of parsing a bogus length from it."""
+        img = _gradient(24, 24)
+        data = jpeg.encode_jpeg(img, 90)
+        # inject fill bytes before the SOF0 marker (FF C0)
+        i = data.index(b"\xff\xc0")
+        padded = data[:i] + b"\xff\xff\xff" + data[i:]
+        assert (jpeg.decode_jpeg(padded) == jpeg.decode_jpeg(data)).all()

@@ -99,3 +99,42 @@ class TestWiring:
         assert multimodal.parse_image_meta(data)["format"] == "webp"
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(data)
+
+
+class TestAdviceR3:
+    """Round-3 ADVICE fixes: photometric handling + IFD-only metadata."""
+
+    def test_photometric_whiteiszero_inverts(self):
+        gray = (np.arange(64, dtype=np.uint8) * 4).reshape(8, 8)
+        data = bytearray(si.encode_tiff(gray))
+        # flip the PHOTOMETRIC tag value from 1 (BlackIsZero) to 0
+        ifd_off = struct.unpack("<I", data[4:8])[0]
+        n = struct.unpack("<H", data[ifd_off:ifd_off + 2])[0]
+        for i in range(n):
+            off = ifd_off + 2 + 12 * i
+            tag = struct.unpack("<H", data[off:off + 2])[0]
+            if tag == 262:
+                data[off + 8:off + 10] = struct.pack("<H", 0)
+        out = si.decode_tiff(bytes(data))
+        assert (out[:, :, 0] == 255 - gray).all()
+
+    def test_photometric_palette_rejected(self):
+        data = bytearray(si.encode_tiff(_rgb(4, 4)))
+        ifd_off = struct.unpack("<I", data[4:8])[0]
+        n = struct.unpack("<H", data[ifd_off:ifd_off + 2])[0]
+        for i in range(n):
+            off = ifd_off + 2 + 12 * i
+            tag = struct.unpack("<H", data[off:off + 2])[0]
+            if tag == 262:
+                data[off + 8:off + 10] = struct.pack("<H", 3)
+        with pytest.raises(NotImplementedError, match="photometric"):
+            si.decode_tiff(bytes(data))
+
+    @pytest.mark.parametrize("be", [False, True])
+    def test_tiff_dims_header_only(self, be):
+        data = si.encode_tiff(_rgb(37, 53), big_endian=be)
+        assert si.tiff_dims(data) == (53, 37)
+        # metadata path must not decode pixels: truncating the strip data
+        # (but keeping the IFD, which sits AFTER pixels here -> rebuild)
+        meta = multimodal.parse_image_meta(data)
+        assert (meta["width"], meta["height"]) == (53, 37)
