@@ -1,0 +1,90 @@
+"""Embedding-LSH scale behavior (round-3): numpy-matmul banding parity with
+the Catalyst expression form, the capped-bucket guard bounding per-bucket
+pair volume, and the bits-per-band scale profile."""
+
+import numpy as np
+import pytest
+
+from horizon_ocr_python_spark.operators import compose, similarity
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id: long, v: array<double>")
+
+
+class TestBandingParity:
+    def test_udf_matches_expression_form(self, spark):
+        """The pandas-UDF matmul banding and the round-2 Catalyst HOF
+        banding must produce the identical (vec_id, band_key) set — same
+        hyperplanes, same sign rule, different execution strategy."""
+        rng = np.random.default_rng(7)
+        rows = [(i, rng.standard_normal(similarity.DIM)) for i in range(64)]
+        df = _emb_df(spark, rows)
+        udf_keys = set(map(tuple, similarity.banded_keys(df).collect()))
+        expr_keys = set(map(tuple, similarity.banded_keys_expr(df).collect()))
+        assert udf_keys == expr_keys
+        assert len(udf_keys) == 64 * similarity.N_BANDS
+
+    def test_key_shape(self, spark):
+        rng = np.random.default_rng(3)
+        df = _emb_df(spark, [(0, rng.standard_normal(similarity.DIM))])
+        keys = [r.band_key for r in similarity.banded_keys(df).collect()]
+        assert sorted(k.split(":")[0] for k in keys) == \
+            [str(b) for b in range(similarity.N_BANDS)]
+        assert all(len(k.split(":")[1]) == similarity.N_BITS for k in keys)
+
+
+class TestCappedBuckets:
+    def test_planted_cluster_pair_volume_is_linear(self, spark):
+        """A 300-member near-dup cluster lands in one bucket per band;
+        without the cap that is 300*299/2 = 44,850 pairs — with it, each
+        band contributes at most members*WIDTH neighbor links."""
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal(similarity.DIM)
+        n_cluster, n_noise = 300, 50
+        rows = [(i, base + rng.standard_normal(similarity.DIM) * 1e-4)
+                for i in range(n_cluster)]
+        rows += [(n_cluster + i, rng.standard_normal(similarity.DIM))
+                 for i in range(n_noise)]
+        keys = similarity.banded_keys(_emb_df(spark, rows))
+        n_pairs = compose.sim_candidate_pairs(keys).count()
+        linear_bound = (n_cluster * compose.SIM_NEIGHBOR_WIDTH
+                        + n_noise * (n_noise - 1) // 2)
+        assert n_pairs <= linear_bound
+        # the neighborhood chain still links the whole cluster (width>=1
+        # guarantees rank-adjacent edges, enough for CC closure)
+        assert n_pairs >= n_cluster - 1
+
+    def test_small_buckets_stay_exhaustive(self, spark):
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal(similarity.DIM)
+        rows = [(i, base + rng.standard_normal(similarity.DIM) * 1e-4)
+                for i in range(10)]
+        keys = similarity.banded_keys(_emb_df(spark, rows))
+        pairs = set((r.ia, r.ib) for r in
+                    compose.sim_candidate_pairs(keys).collect())
+        assert pairs == {(a, b) for a in range(10) for b in range(10) if a < b}
+
+
+class TestScaleProfile:
+    def test_bits_grow_with_corpus(self):
+        assert similarity.bits_for_corpus(500) == similarity.N_BITS
+        assert similarity.bits_for_corpus(10**6) == 12
+        assert similarity.bits_for_corpus(10**9) == 22
+        assert similarity.bits_for_corpus(10**12) == 24  # capped
+
+    def test_profile_banding_runs_at_18_bits(self, spark):
+        prof = similarity.SIM_SCALE_PROFILE
+        rng = np.random.default_rng(9)
+        df = _emb_df(spark, [(i, rng.standard_normal(similarity.DIM))
+                             for i in range(8)])
+        keys = similarity.banded_keys(df, n_bands=prof["n_bands"],
+                                      n_bits=prof["n_bits"]).collect()
+        assert len(keys) == 8 * prof["n_bands"]
+        assert all(len(r.band_key.split(":")[1]) == prof["n_bits"]
+                   for r in keys)
+        # 18-bit keys over 8 random vectors: collisions are ~impossible,
+        # every bucket is a singleton — the keyspace actually widened
+        assert len({r.band_key for r in keys}) == len(keys)
