@@ -28,6 +28,7 @@ from horizon_ocr_python_spark.operators import (
     sessionize,
     similarity,
     textops,
+    tables_rich,
     validators_sql,
 )
 
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v4_currency_validate": validators_sql.v4_currency_validate,
         "v5_regex_validate": validators_sql.v5_regex_validate,
         "r3_font_bins": validators_sql.r3_font_bins,
+        "table_cell_rowtexts": tables_rich.table_cell_rowtexts,
         "v6_non_empty": validators_sql.v6_non_empty,
         "v7_validator_dispatch": validators_sql.v7_validator_dispatch,
         "v8_cross_field": validators_sql.v8_cross_field,
@@ -170,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "v4_currency_validate": validators_sql.V4_CURRENCY_VALIDATE_SQL,
         "v5_regex_validate": validators_sql.V5_REGEX_VALIDATE_SQL,
         "r3_font_bins": validators_sql.R3_FONT_BINS_SQL,
+        "table_cell_rowtexts": tables_rich.TABLE_CELL_ROWTEXTS_SQL,
         "v6_non_empty": validators_sql.V6_NON_EMPTY_SQL,
         "v7_validator_dispatch": validators_sql.V7_VALIDATOR_DISPATCH_SQL,
         "v8_cross_field": validators_sql.V8_CROSS_FIELD_SQL,

@@ -91,10 +91,29 @@ def _page_row(p: dict) -> dict:
                 "confidence": float(tl["style"].get("confidence", 0.5)),
             } if tl.get("style") else None),
         } for tl in p.get("text_lines", [])],
-        "tables": [{"rows": t.get("rows", [])} for t in p.get("tables", [])],
+        "tables": [_table_row(t) for t in p.get("tables", [])],
         "raw_text": p.get("raw_text", ""),
     }
 
+
+
+def _table_row(t: dict) -> dict:
+    """Table dict -> TABLE_SCHEMA row (rich cells + expanded grid)."""
+    return {
+        "rows": t.get("rows", []),
+        "cells": [{
+            "row": int(c.get("row", 0)), "col": int(c.get("col", 0)),
+            "row_span": int(c.get("row_span", 1)),
+            "col_span": int(c.get("col_span", 1)),
+            "text": c.get("text"),
+            "is_header": bool(c.get("is_header", False)),
+            "bbox": _bbox_dict(c.get("bbox")),
+        } for c in t.get("cells", [])],
+        "n_rows": int(t.get("n_rows", len(t.get("rows", [])))),
+        "n_cols": int(t.get("n_cols",
+                            max((len(r) for r in t.get("rows", [])),
+                                default=0))),
+    }
 
 def _reconstruction_row(rec: dict | None) -> dict | None:
     if not rec:
@@ -149,7 +168,7 @@ def _doc_to_row(url, warc_ts, lang, doc: dict, content_key: str,
         "page_count": int(doc.get("page_count", len(pages))),
         "pages": [_page_row(p) for p in pages],
         "fields": fields,
-        "tables": [{"rows": t.get("rows", [])} for t in doc.get("tables", [])],
+        "tables": [_table_row(t) for t in doc.get("tables", [])],
         "validation": {
             "passed": bool(v.get("passed", True)),
             "total_checks": int(v.get("total_checks", 0)),

@@ -62,8 +62,26 @@ FIELD_SCHEMA = StructType([
     StructField("n_candidates", IntegerType(), True),
 ])
 
+# Cell (types.py:161-178): grid position + spans + header flag + bbox.
+# TATR emits spanning cells (table_tatr.py:455-517); HTML colspan/rowspan
+# map to the same struct.
+CELL_SCHEMA = StructType([
+    StructField("row", IntegerType(), True),
+    StructField("col", IntegerType(), True),
+    StructField("row_span", IntegerType(), True),
+    StructField("col_span", IntegerType(), True),
+    StructField("text", StringType(), True),
+    StructField("is_header", BooleanType(), True),
+    StructField("bbox", BBOX_SCHEMA, True),
+])
+
+# Table (types.py:180-198): rich cells + dims, plus the span-EXPANDED text
+# grid (the get_row_texts view) for flat-grid consumers.
 TABLE_SCHEMA = StructType([
     StructField("rows", ArrayType(ArrayType(StringType())), True),
+    StructField("cells", ArrayType(CELL_SCHEMA), True),
+    StructField("n_rows", IntegerType(), True),
+    StructField("n_cols", IntegerType(), True),
 ])
 
 # Word / TextLine (types.py:129-149): positions where the source has them

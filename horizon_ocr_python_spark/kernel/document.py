@@ -230,6 +230,32 @@ def _extract(url: str, payload: bytes, warc_ts: Any, lang: str,
 
     if file_type == "pdf":
         ex = pdf_text.extract_pdf(payload)
+        # scanned gate (pdf_style_extractor.py:67-98): a PDF whose text
+        # layer carries <=100 chars is treated as scanned/image-only and
+        # routed through the raster path: decode embedded /Image XObjects
+        # -> P-stage preprocess -> glyph recognition (the deterministic
+        # no-weights OCR fallback) -> the same downstream pipeline.
+        if sum(len(ln["text"]) for ln in ex["lines"]) <= SCANNED_CHAR_GATE:
+            scanned = _extract_scanned(payload)
+            if scanned is not None:
+                (page_dims, n_pages, page_text_lines, page_regions,
+                 readability, readability_issues) = scanned
+                field_lists = [kie.extract_kv_fields(
+                    [tl["text"] for tl in page_text_lines[p]],
+                    confidence=0.85, page_num=p, source="ocr_fallback")
+                    for p in sorted(page_text_lines)]
+                all_lines = [tl for p in sorted(page_text_lines)
+                             for tl in page_text_lines[p]]
+                ex_title = next(
+                    (tl["text"] for tl in all_lines
+                     if tl["font_size"] and tl["font_size"] > 14
+                     and tl["bbox"][1] < page_dims[1] * 0.3), "")
+                ex_raw = "\n".join(tl["text"] for tl in all_lines)
+                return _assemble(url, payload, warc_ts, lang, now, st,
+                                 file_type, page_dims, n_pages,
+                                 page_text_lines, page_regions, [],
+                                 field_lists, ex_title, ex_raw,
+                                 readability, readability_issues)
         page_dims = (pdf_text.PAGE_W, pdf_text.PAGE_H)
         n_pages = max(int(ex.get("n_pages", 1)), 1)
         # per-page fan-out: lines arrive in reading order, grouped by page
@@ -290,6 +316,62 @@ def _extract(url: str, payload: bytes, warc_ts: Any, lang: str,
                                              page_num=1, source="html_kv")]
         ex_title, ex_raw = hx["title"], hx["raw_text"]
 
+    return _assemble(url, payload, warc_ts, lang, now, st, file_type,
+                     page_dims, n_pages, page_text_lines, page_regions,
+                     tables_rows, field_lists, ex_title, ex_raw,
+                     readability, readability_issues)
+
+
+SCANNED_CHAR_GATE = 100  # pdf_style_extractor.py:67-98 scanned threshold
+
+
+def _extract_scanned(payload: bytes):
+    """Raster path for image-only PDFs: /Image XObjects -> P-stage
+    preprocess (reference order, enhance.py:368-428) -> glyph recognition
+    (kernel.glyphs, the deterministic no-weights OCR) -> TextLine structs.
+
+    Returns (page_dims, n_pages, page_text_lines, page_regions,
+    readability, readability_issues) or None when the PDF embeds no
+    decodable images (stays on the text path)."""
+    from . import glyphs, preprocess
+
+    images = pdf_text.extract_pdf_images(payload)
+    if not images:
+        return None
+    page_text_lines: dict[int, list[dict]] = {}
+    page_regions: dict[int, list[dict]] = {}
+    page_dims = (pdf_text.PAGE_W, pdf_text.PAGE_H)
+    readability, readability_issues = "good", []
+    for p, img in enumerate(images, 1):
+        if img is None:  # corrupt image stream: page contained, kept empty
+            page_text_lines[p] = []
+            page_regions[p] = []
+            continue
+        if p == 1:
+            page_dims = (int(img.shape[1]), int(img.shape[0]))
+            readability, readability_issues = preprocess.assess_readability(img)
+        pre = preprocess.preprocess_for_ocr(img)
+        gray = preprocess.to_gray(pre) if pre.ndim == 3 else pre
+        lines = glyphs.recognize_page(gray)
+        page_text_lines[p] = [{
+            "text": ln["text"],
+            "page": p,
+            "bbox": tuple(float(v) for v in ln["bbox"]),
+            "font_size": float(ln["font_size"]),
+            "words": ln["words"],
+            "style": None,
+        } for ln in lines]
+        page_regions[p] = [{"type": "text", "bbox": tl["bbox"], "page": p,
+                            "confidence": ln["confidence"]}
+                           for tl, ln in zip(page_text_lines[p], lines)]
+    return (page_dims, len(images), page_text_lines, page_regions,
+            readability, readability_issues)
+
+
+def _assemble(url, payload, warc_ts, lang, now, st, file_type, page_dims,
+              n_pages, page_text_lines, page_regions, tables_rows,
+              field_lists, ex_title, ex_raw, readability,
+              readability_issues) -> dict:
     # table-derived fields from 2-column tables (label/value shape)
     table_fields: list[dict] = []
     for t in tables_rows:

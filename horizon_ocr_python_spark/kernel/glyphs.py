@@ -1,0 +1,196 @@
+"""Deterministic synthetic-glyph codec: the no-weights OCR stand-in for the
+scanned-PDF path.
+
+The reference rasterizes every PDF and routes low-char pages through its OCR
+stack (io/pdf.py:117-142; scanned gate extract/pdf_style_extractor.py:67-98);
+without model weights its recognizers degrade to a deterministic fallback.
+This module provides that fallback as a REAL (toy) recognition pipeline:
+
+- each printable-ASCII character owns a unique md5-derived 5x7 bitmap
+  (synthetic shapes standing in for a font — the honest "deterministic
+  fake" for the missing OCR model);
+- `render_page` rasterizes text lines onto a grayscale page image at an
+  integer glyph scale (fixed-pitch, like typewriter print);
+- `recognize_page` is the full detector/recognizer chain on PIXELS ONLY:
+  ink thresholding -> row-projection line banding (the D6 fallback-detector
+  shape) -> per-band glyph-scale inference -> fixed-pitch cell walk ->
+  block-majority downsample -> nearest-template (Hamming) match -> line and
+  word structs with bboxes and confidences.
+
+render -> recognize round-trips text exactly on lossless pages, and the
+Hamming matcher absorbs JPEG/preprocess blur; everything is seeded bytes
+math — no randomness, no model state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+GLYPH_H, GLYPH_W = 7, 5
+CELL_GAP = 1          # blank columns between cells, in glyph units
+PITCH = GLYPH_W + CELL_GAP   # horizontal cell pitch, in glyph units
+CHARSET = "".join(chr(c) for c in range(32, 127))
+
+
+def _bitmap(ch: str) -> np.ndarray:
+    """Unique deterministic 5x7 bitmap per character (space stays blank).
+
+    Bits come from md5(char); the two top corners are forced ON for every
+    non-space glyph so no bitmap is blank and scale inference always sees
+    ink at the cell top."""
+    if ch == " ":
+        return np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
+    digest = hashlib.md5(f"glyph:{ch}".encode()).digest()
+    bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
+    g = bits[:GLYPH_H * GLYPH_W].reshape(GLYPH_H, GLYPH_W).astype(bool)
+    g[0, 0] = g[0, GLYPH_W - 1] = True
+    return g
+
+
+GLYPHS = {ch: _bitmap(ch) for ch in CHARSET}
+_NONSPACE = [ch for ch in CHARSET if ch != " "]
+_TEMPLATES = np.stack([GLYPHS[ch] for ch in _NONSPACE]).reshape(
+    len(_NONSPACE), -1)
+# uniqueness is a correctness precondition of the codec — assert it once
+assert len({t.tobytes() for t in _TEMPLATES}) == len(_NONSPACE)
+
+
+def render_page(lines: list[tuple], width: int = 612,
+                height: int = 792) -> np.ndarray:
+    """Rasterize [(x, y_top, text, scale)] onto a white page (uint8 gray,
+    ink=0). Glyphs are fixed-pitch: cell = 6*scale px wide, 7*scale tall.
+    Content outside the page is clipped."""
+    page = np.full((height, width), 255, dtype=np.uint8)
+    for x, y, text, scale in lines:
+        s = int(scale)
+        for j, ch in enumerate(text):
+            g = GLYPHS.get(ch)
+            if g is None or not g.any():
+                continue
+            gx = int(x) + j * PITCH * s
+            gy = int(y)
+            tile = np.kron(g, np.ones((s, s), dtype=bool))
+            h, w = tile.shape
+            if gy + h > height or gx + w > width or gx < 0 or gy < 0:
+                continue  # clipped: the generator sizes lines to fit
+            region = page[gy:gy + h, gx:gx + w]
+            region[tile] = 0
+    return page
+
+
+def _bands(mask: np.ndarray) -> list[tuple[int, int]]:
+    """Contiguous True runs of a 1-D mask as (start, end_inclusive)."""
+    idx = np.flatnonzero(mask)
+    if idx.size == 0:
+        return []
+    splits = np.flatnonzero(np.diff(idx) > 1)
+    starts = np.concatenate(([idx[0]], idx[splits + 1]))
+    ends = np.concatenate((idx[splits], [idx[-1]]))
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def _walk(band: np.ndarray, x0: int, x1: int, s: int):
+    """Fixed-pitch cell walk from x0, fully vectorized: stack every cell's
+    ink block, one block-majority downsample for the whole line, one
+    Hamming distance matrix against all templates. Returns
+    (chars, confs, total_dist)."""
+    pitch = PITCH * s
+    h, w = GLYPH_H * s, GLYPH_W * s
+    n_cells = max(1, -(-(x1 - x0 + 1) // pitch))
+    # pad so every cell slice (including negative-offset ones from the
+    # alignment search) is in-bounds
+    left = max(0, -x0)
+    padded = np.zeros((h, band.shape[1] + left + n_cells * pitch + w),
+                      dtype=bool)
+    bh = min(band.shape[0], h)
+    padded[:bh, left:left + band.shape[1]] = band[:bh]
+    idx = (x0 + left) + pitch * np.arange(n_cells)
+    blocks = np.stack([padded[:, cx:cx + w] for cx in idx])   # (n, 7s, 5s)
+    bits = blocks.reshape(n_cells, GLYPH_H, s, GLYPH_W, s) \
+        .mean(axis=(2, 4)) >= 0.5                             # (n, 7, 5)
+    flat = bits.reshape(n_cells, -1)
+    blank = ~flat.any(axis=1)
+    dists = np.count_nonzero(flat[:, None, :] != _TEMPLATES[None, :, :],
+                             axis=2)                          # (n, 95)
+    best = np.argmin(dists, axis=1)
+    best_d = dists[np.arange(n_cells), best]
+    chars = [" " if blank[c] else _NONSPACE[best[c]] for c in range(n_cells)]
+    confs = [1.0 if blank[c] else 1.0 - best_d[c] / _TEMPLATES.shape[1]
+             for c in range(n_cells)]
+    total = int(best_d[~blank].sum())
+    return chars, confs, total
+
+
+def recognize_page(gray: np.ndarray, ink_threshold: int = 128) -> list[dict]:
+    """Recognize fixed-pitch glyph text from a grayscale page.
+
+    Pixels only: row-projection -> line bands; band height -> glyph scale;
+    first/last ink column -> cell walk at the inferred pitch; per cell,
+    block-majority downsample + Hamming nearest-template. Returns line
+    structs in the pipeline's text-line shape:
+        {text, x, y, page(=unset), font_size, words: [{text,bbox,confidence}],
+         bbox, confidence}
+    with font_size = 7*scale (the size proxy the title heuristic uses).
+    """
+    ink = np.asarray(gray) < ink_threshold
+    lines: list[dict] = []
+    for y0, y1 in _bands(ink.any(axis=1)):
+        s = max(1, round((y1 - y0 + 1) / GLYPH_H))
+        band = ink[y0:y0 + GLYPH_H * s]
+        cols = _bands(band.any(axis=0))
+        if not cols:
+            continue
+        x0, x1 = cols[0][0], cols[-1][1]
+        pitch = PITCH * s
+        # alignment search: preprocess blur can erode/extend the first
+        # glyph's edge columns, shifting the detected x0 by a pixel or two
+        # and derailing every downstream cell — try +-s offsets and keep
+        # the walk whose total template distance is smallest
+        best = None
+        for dx in range(-s, s + 1):
+            chars, confs, total = _walk(band, x0 + dx, x1, s)
+            if best is None or total < best[2]:
+                best = (chars, confs, total, x0 + dx)
+        chars, confs, _, x0 = best[0], best[1], best[2], best[3]
+        word_cells = [(c, ch, confs[c]) for c, ch in enumerate(chars)]
+        n_cells = len(chars)
+        text = "".join(chars).rstrip()
+        if not text:
+            continue
+        # word structs: split on space cells, bbox per cell-range
+        words = []
+        start = None
+        for c, ch, conf in word_cells + [(n_cells, " ", 1.0)]:
+            if ch != " " and c < len(text):
+                if start is None:
+                    start = c
+            elif start is not None:
+                w_text = "".join(chars[start:c])
+                words.append({
+                    "text": w_text,
+                    "bbox": (float(x0 + start * pitch), float(y0),
+                             float(x0 + c * pitch - CELL_GAP * s),
+                             float(y0 + GLYPH_H * s)),
+                    "confidence": round(float(np.mean(confs[start:c])), 4),
+                })
+                start = None
+        lines.append({
+            "text": text,
+            "x": float(x0),
+            "y": float(y0),
+            "font_size": float(GLYPH_H * s),
+            "bbox": (float(x0), float(y0),
+                     float(x0 + len(text) * pitch - CELL_GAP * s),
+                     float(y0 + GLYPH_H * s)),
+            "confidence": round(float(np.mean(confs[:len(text)])), 4),
+            "words": words,
+        })
+    lines.sort(key=lambda ln: (int(ln["y"] // 50), ln["x"]))
+    return lines
+
+
+def max_chars(width: int = 612, margin: int = 36, scale: int = 2) -> int:
+    """How many glyph cells fit on one line — the generator's wrap bound."""
+    return (width - 2 * margin) // (PITCH * scale)

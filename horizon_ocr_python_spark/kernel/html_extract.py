@@ -157,6 +157,19 @@ class _Extractor(HTMLParser):
             elif tag in ("td", "th") and self.table_depth == 1:
                 self.in_cell = True
                 self._cell_parts = []
+                # colspan/rowspan -> the rich Cell model (reference
+                # types.py:161-198; TATR's spanning-cell label 5)
+                amap = dict(attrs)
+
+                def _span(key):
+                    try:
+                        return max(1, int(str(amap.get(key, "1")).strip()))
+                    except (TypeError, ValueError):
+                        return 1
+
+                self._cell_meta = {"is_header": tag == "th",
+                                   "colspan": _span("colspan"),
+                                   "rowspan": _span("rowspan")}
             return
 
         if tag == "a":
@@ -203,7 +216,9 @@ class _Extractor(HTMLParser):
                 self.boiler_depth = max(0, self.boiler_depth - 1)
             if base == "table":
                 if self.table_depth == 1 and self._cur_rows:
-                    self.tables.append({"rows": self._cur_rows})
+                    from . import table_model
+
+                    self.tables.append(table_model.from_html_rows(self._cur_rows))
                     self._cur_rows = []
                 self.table_depth = max(0, self.table_depth - 1)
             if self.table_depth:
@@ -211,7 +226,12 @@ class _Extractor(HTMLParser):
                     self._cur_rows.append(self._cur_cells)
                     self._cur_cells = []
                 elif base in ("td", "th") and self.table_depth == 1 and self.in_cell:
-                    self._cur_cells.append(_collapse_ws("".join(self._cell_parts)))
+                    meta = getattr(self, "_cell_meta", None) or {}
+                    self._cur_cells.append({
+                        "text": _collapse_ws("".join(self._cell_parts)),
+                        **{k: meta.get(k, d) for k, d in
+                           (("is_header", False), ("colspan", 1),
+                            ("rowspan", 1))}})
                     self.in_cell = False
 
     def handle_data(self, data: str) -> None:

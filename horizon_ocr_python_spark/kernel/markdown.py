@@ -59,6 +59,24 @@ def render_table_md(rows: list[list[str]]) -> str:
     return "\n".join(out)
 
 
+def render_table_spans_md(table: dict) -> str:
+    """Span-aware GFM rendering: GFM has no colspan/rowspan, so each
+    spanning cell's text appears once at its ANCHOR slot and the covered
+    slots render empty — merged-cell structure stays visible instead of
+    being silently duplicated. Tables without a cells list fall back to
+    the flat grid."""
+    cells = table.get("cells")
+    if not cells:
+        return render_table_md(table.get("rows", []))
+    n_rows = table.get("n_rows", 0)
+    n_cols = table.get("n_cols", 0)
+    grid = [["" for _ in range(n_cols)] for _ in range(n_rows)]
+    for c in cells:
+        if c["row"] < n_rows and c["col"] < n_cols:
+            grid[c["row"]][c["col"]] = c.get("text", "")
+    return render_table_md(grid)
+
+
 def generate_markdown(doc: dict[str, Any], generated_at: Optional[str] = None) -> str:
     """Render one extracted Document dict to a Markdown report.
 
@@ -101,7 +119,7 @@ def generate_markdown(doc: dict[str, Any], generated_at: Optional[str] = None) -
         parts.append("---\n\n## Tables\n")
         for i, table in enumerate(tables, 1):
             parts.append(f"### Table {i}\n")
-            parts.append(render_table_md(table.get("rows", [])) + "\n")
+            parts.append(render_table_spans_md(table) + "\n")
 
     fields = doc.get("fields", [])
     if fields:

@@ -128,6 +128,119 @@ def build_pdf(lines: list[tuple[float, float, str, float]],
     return build_pdf_pages([lines], compress=compress, use_td=use_td)
 
 
+def build_scanned_pdf(page_images: list, codec: str = "flate") -> bytes:
+    """Build an image-only (scanned) PDF: each page is one /Image XObject
+    drawn full-page — the shape a scanner/print-to-PDF emits, and the input
+    the reference's rasterize->OCR path exists for (io/pdf.py:117-142).
+
+    `page_images` are HxW (gray) or HxWx3 (RGB) uint8 numpy arrays.
+    codec='flate' stores lossless zlib'd samples; codec='dct' stores
+    baseline JPEG (kernel.jpeg) — the two stream filters scanned PDFs
+    actually carry.
+    """
+    import numpy as np
+
+    n = len(page_images)
+    # objects: catalog(1), pages(2), per page: page(3+2i), content(4+2i);
+    # image XObjects LAST (5+... after all pages) so text extraction's
+    # stream walk sees content streams first and in page order.
+    first_img_obj = 3 + 2 * n
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
+    ]
+    img_objects: list[bytes] = []
+    for i, img in enumerate(page_images):
+        arr = np.asarray(img, dtype=np.uint8)
+        h, w = arr.shape[:2]
+        gray = arr.ndim == 2
+        page_num, stream_num = 3 + 2 * i, 4 + 2 * i
+        img_num = first_img_obj + i
+        objects.append(
+            (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+             f"/Contents {stream_num} 0 R "
+             f"/Resources << /XObject << /Im{i} {img_num} 0 R >> >> >>"
+             ).encode())
+        content = f"q {w} 0 0 {h} 0 0 cm /Im{i} Do Q".encode()
+        objects.append(f"<< /Length {len(content)} >>".encode()
+                       + b"\nstream\n" + content + b"\nendstream")
+        if codec == "dct":
+            from .jpeg import encode_jpeg
+
+            rgb = np.stack([arr] * 3, axis=-1) if gray else arr
+            data, filt = encode_jpeg(rgb, quality=92), "/DCTDecode"
+            space = "/DeviceRGB"
+        else:
+            data, filt = zlib.compress(arr.tobytes(), 6), "/FlateDecode"
+            space = "/DeviceGray" if gray else "/DeviceRGB"
+        img_objects.append(
+            (f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+             f"/ColorSpace {space} /BitsPerComponent 8 /Filter {filt} "
+             f"/Length {len(data)} >>").encode()
+            + b"\nstream\n" + data + b"\nendstream")
+    objects += img_objects
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objects, 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+_IMG_DICT_RE = re.compile(
+    rb"<<[^>]*?/Subtype\s*/Image[^>]*?>>\s*stream\r?\n", re.DOTALL)
+_IMG_W_RE = re.compile(rb"/Width\s+(\d+)")
+_IMG_H_RE = re.compile(rb"/Height\s+(\d+)")
+
+
+def extract_pdf_images(pdf: bytes) -> list:
+    """Decode the /Image XObject of each page of the supported scanned-PDF
+    subset (one full-page image per page, object order == page order).
+    Returns one HxWx3 RGB or HxW gray uint8 array per image; a corrupt or
+    unsupported image yields None in its slot (contained, page numbering
+    preserved) — the same per-page containment as the text path."""
+    import numpy as np
+
+    images = []
+    for m in _IMG_DICT_RE.finditer(pdf):
+        head = m.group(0)
+        lm = _LENGTH_RE.search(head)
+        start = m.end()
+        if lm:
+            end = start + int(lm.group(1))
+        else:
+            end = pdf.find(b"endstream", start)
+            if end == -1:
+                images.append(None)
+                continue
+        data = pdf[start:end]
+        try:
+            if b"/DCTDecode" in head:
+                from .jpeg import decode_jpeg
+
+                images.append(decode_jpeg(data))
+            else:
+                raw = np.frombuffer(zlib.decompress(data), dtype=np.uint8)
+                w = int(_IMG_W_RE.search(head).group(1))
+                h = int(_IMG_H_RE.search(head).group(1))
+                if b"/DeviceGray" in head:
+                    images.append(raw[:h * w].reshape(h, w))
+                else:
+                    images.append(raw[:h * w * 3].reshape(h, w, 3))
+        except Exception:
+            images.append(None)
+    return images
+
+
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 _TF_RE = re.compile(rb"/(F\d+) ([0-9.]+) Tf")
 
@@ -197,6 +310,10 @@ def _iter_streams(pdf: bytes):
                 data_end -= 1
         data = pdf[data_start:data_end]
         pos = data_end
+        if b"/Subtype /Image" in dict_txt or b"/Subtype/Image" in dict_txt:
+            continue  # image XObject: not a page content stream — the
+            # scanned path reads these via extract_pdf_images; skipping
+            # keeps text page numbering = content-stream order
         if b"/FlateDecode" in dict_txt:
             try:
                 data = zlib.decompress(data)

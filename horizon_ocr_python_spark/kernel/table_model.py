@@ -1,0 +1,88 @@
+"""Rich table model: spanning cells + accessors.
+
+Mirrors the reference's Table/Cell types (types.py:161-198): each cell
+carries (row, col, row_span, col_span, text, is_header, bbox), and the
+accessors resolve span coverage — get_cell(r, c) returns the cell COVERING
+the position, get_row_texts/get_col_texts place the covering cell's text in
+every covered slot. TATR emits spanning cells (table_tatr.py:455-517,
+label 5); on the HTML path the same structure comes from colspan/rowspan.
+
+Tables are plain dicts (Arrow-friendly):
+    {"rows": [[str]], "cells": [cell], "n_rows": int, "n_cols": int}
+where "rows" is the span-EXPANDED text grid (the get_row_texts view) so the
+flat-grid consumers (markdown, label/value field mining) keep working.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+def make_cell(row: int, col: int, text: str, row_span: int = 1,
+              col_span: int = 1, is_header: bool = False,
+              bbox: Optional[tuple] = None) -> dict:
+    return {"row": int(row), "col": int(col),
+            "row_span": max(1, int(row_span)),
+            "col_span": max(1, int(col_span)),
+            "text": text, "is_header": bool(is_header), "bbox": bbox}
+
+
+def get_cell(table: dict, row: int, col: int) -> Optional[dict]:
+    """The cell covering (row, col), span-aware (types.py:185-189)."""
+    for cell in table.get("cells") or []:
+        if (cell["row"] <= row < cell["row"] + cell["row_span"]
+                and cell["col"] <= col < cell["col"] + cell["col_span"]):
+            return cell
+    return None
+
+
+def get_row_texts(table: dict, row: int) -> list[str]:
+    """Texts of one row, covering cell's text in each covered slot
+    (types.py:191-194)."""
+    return [(c["text"] if (c := get_cell(table, row, col)) else "")
+            for col in range(table.get("n_cols", 0))]
+
+
+def get_col_texts(table: dict, col: int) -> list[str]:
+    """Texts of one column, span-aware (types.py:196-198)."""
+    return [(c["text"] if (c := get_cell(table, row, col)) else "")
+            for row in range(table.get("n_rows", 0))]
+
+
+def from_html_rows(html_rows: list[list[dict]]) -> dict:
+    """Build the rich table from parsed HTML rows of
+    {"text", "colspan", "rowspan", "is_header"} dicts, assigning grid
+    positions with the standard HTML table algorithm: each row's cells fill
+    the leftmost slots not occupied by earlier rowspans."""
+    occupied: set[tuple[int, int]] = set()
+    cells: list[dict] = []
+    n_rows = n_cols = 0
+    for r, row in enumerate(html_rows):
+        c = 0
+        for h in row:
+            while (r, c) in occupied:
+                c += 1
+            cell = make_cell(r, c, h["text"],
+                             row_span=h.get("rowspan", 1),
+                             col_span=h.get("colspan", 1),
+                             is_header=h.get("is_header", False))
+            cells.append(cell)
+            for rr in range(r, r + cell["row_span"]):
+                for cc in range(c, c + cell["col_span"]):
+                    occupied.add((rr, cc))
+            n_rows = max(n_rows, r + cell["row_span"])
+            n_cols = max(n_cols, c + cell["col_span"])
+            c += cell["col_span"]
+    table = {"cells": cells, "n_rows": n_rows, "n_cols": n_cols}
+    table["rows"] = [get_row_texts(table, r) for r in range(n_rows)]
+    return table
+
+
+def from_flat_rows(rows: list[list[str]]) -> dict:
+    """Lift a flat string grid (no spans) into the rich model."""
+    cells = [make_cell(r, c, text)
+             for r, row in enumerate(rows) for c, text in enumerate(row)]
+    n_rows = len(rows)
+    n_cols = max((len(r) for r in rows), default=0)
+    return {"cells": cells, "n_rows": n_rows, "n_cols": n_cols,
+            "rows": [list(r) + [""] * (n_cols - len(r)) for r in rows]}

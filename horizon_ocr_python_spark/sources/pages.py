@@ -121,6 +121,32 @@ def make_page(i: int, seed: int = 42, n_hosts: int = 50, scale: int = 1) -> dict
         expected_text = ""
         title = ""
         expected_fields = {}
+    elif kind == "pdf" and rng.random() < 0.35:
+        # scanned/image-only PDF: glyph-rendered page images behind /Image
+        # XObjects (FlateDecode or DCTDecode) — no text layer at all, so
+        # extraction must take the raster path (scanned gate -> decode ->
+        # preprocess -> glyph recognition). Ground truth is the rendered
+        # text; lines are sized to the fixed-pitch page capacity.
+        from ..kernel import glyphs
+
+        kind = "scanned_pdf"
+        cap2 = glyphs.max_chars(scale=2)          # chars per scale-2 line
+        title = f"Scan {i} " + " ".join(rng.choice(WORDS) for _ in range(2))
+        body = [_sentence(rng, rng.randint(3, 4))[:cap2]
+                for _ in range(rng.randint(4, 24))]
+        text_lines = body + kv_lines
+        page_specs: list[list[tuple]] = [[(36, 72, title, 3)]]
+        y = 120
+        for tl in text_lines:
+            if y > 760:
+                page_specs.append([])
+                y = 72
+            page_specs[-1].append((36, y, tl, 2))
+            y += 24
+        images = [glyphs.render_page(spec) for spec in page_specs]
+        payload = pdf_text.build_scanned_pdf(
+            images, codec="dct" if rng.random() < 0.5 else "flate")
+        expected_text = "\n".join([title] + text_lines)
     elif kind == "pdf":
         # ~half the PDFs are long documents that paginate -> multi-page
         # fan-out is exercised by entry()'s byte-identity gate (S1)

@@ -45,8 +45,11 @@ class TestHtmlExtract:
                 b"<tr><td>Widget</td><td>5</td><td>$10.00</td></tr>"
                 b"</table></body></html>")
         tables = html_extract.extract_html(html)["tables"]
-        assert tables == [{"rows": [["Item", "Qty", "Price"],
-                                    ["Widget", "5", "$10.00"]]}]
+        assert [t["rows"] for t in tables] == [[["Item", "Qty", "Price"],
+                                                ["Widget", "5", "$10.00"]]]
+        # round-3 rich model rides along: one 1x1 cell per grid slot here
+        assert len(tables[0]["cells"]) == 6
+        assert (tables[0]["n_rows"], tables[0]["n_cols"]) == (2, 3)
 
     def test_table_text_not_in_raw_text(self):
         html = (b"<html><body><p>Body text here.</p>"

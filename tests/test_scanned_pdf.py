@@ -1,0 +1,145 @@
+"""Scanned/image-only PDF path (round-3): glyph codec round-trips, the
+/Image XObject writer/reader, the chars<=100 scanned gate, per-page
+containment, and generator byte-identity.
+
+Reference analogues: io/pdf.py:117-142 (rasterize), pdf_style_extractor.py:
+67-98 (scanned gate), orchestrator.py:631-816 (OCR path assembly)."""
+
+import numpy as np
+import pytest
+
+from horizon_ocr_python_spark.kernel import (document, glyphs, pdf_text,
+                                             preprocess)
+
+LINES1 = [(36, 72, "Scan 7 alpha beta", 3),
+          (36, 130, "Invoice Number: INV-42000099", 2),
+          (36, 154, "Total: $1,234.56", 2)]
+LINES2 = [(36, 72, "second page body here", 2)]
+TEXT1 = [t for _, _, t, _ in LINES1]
+TEXT2 = [t for _, _, t, _ in LINES2]
+
+
+class TestGlyphCodec:
+    def test_roundtrip_exact(self):
+        out = glyphs.recognize_page(glyphs.render_page(LINES1))
+        assert [ln["text"] for ln in out] == TEXT1
+        assert all(ln["confidence"] == 1.0 for ln in out)
+
+    def test_roundtrip_survives_preprocess(self):
+        page = glyphs.render_page(LINES2)
+        pre = preprocess.preprocess_for_ocr(page)  # deskew+denoise+CLAHE+sharpen
+        gray = preprocess.to_gray(pre) if pre.ndim == 3 else pre
+        assert [ln["text"] for ln in glyphs.recognize_page(gray)] == TEXT2
+
+    def test_roundtrip_survives_jpeg(self):
+        from horizon_ocr_python_spark.kernel import jpeg
+
+        page = glyphs.render_page(LINES1)
+        rgb = np.stack([page] * 3, axis=-1)
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(rgb, quality=90))
+        assert [ln["text"] for ln in glyphs.recognize_page(dec[:, :, 0])] == TEXT1
+
+    def test_alignment_search_absorbs_edge_erosion(self):
+        """Blur can erase the first glyph's left column — a 1px x0 shift
+        must not derail the fixed-pitch walk."""
+        page = glyphs.render_page(LINES2).copy()
+        ink_cols = np.flatnonzero((page < 128).any(axis=0))
+        page[:, ink_cols[0]] = 255  # erode the leftmost ink column
+        assert [ln["text"] for ln in glyphs.recognize_page(page)] == TEXT2
+
+    def test_word_boxes_and_font_size(self):
+        out = glyphs.recognize_page(glyphs.render_page(LINES1))
+        assert out[0]["font_size"] == 21.0  # scale 3 title
+        assert [w["text"] for w in out[1]["words"]] == \
+            ["Invoice", "Number:", "INV-42000099"]
+        x1, _, x2, _ = out[1]["words"][0]["bbox"]
+        assert x2 > x1
+
+    def test_glyphs_unique(self):
+        maps = {glyphs.GLYPHS[c].tobytes() for c in glyphs.CHARSET if c != " "}
+        assert len(maps) == len(glyphs.CHARSET) - 1
+
+
+class TestImagePdf:
+    @pytest.mark.parametrize("codec", ["flate", "dct"])
+    def test_build_extract_roundtrip(self, codec):
+        imgs = [glyphs.render_page(LINES1), glyphs.render_page(LINES2)]
+        pdf = pdf_text.build_scanned_pdf(imgs, codec=codec)
+        out = pdf_text.extract_pdf_images(pdf)
+        assert len(out) == 2 and all(o is not None for o in out)
+        assert pdf_text.sniff_type(pdf) == "pdf"
+        # no text layer: the text walker sees zero lines, no phantom pages
+        assert pdf_text.extract_pdf_text_lines(pdf) == []
+
+    def test_corrupt_image_stream_contained(self):
+        imgs = [glyphs.render_page(LINES1), glyphs.render_page(LINES2)]
+        pdf = bytearray(pdf_text.build_scanned_pdf(imgs, codec="flate"))
+        i = pdf.find(b"stream\n", pdf.find(b"/Subtype /Image")) + 7
+        pdf[i:i + 4] = b"XXXX"
+        out = pdf_text.extract_pdf_images(bytes(pdf))
+        assert len(out) == 2 and out[0] is None and out[1] is not None
+
+
+class TestScannedDocument:
+    def _doc(self, codec="flate"):
+        pdf = pdf_text.build_scanned_pdf(
+            [glyphs.render_page(LINES1), glyphs.render_page(LINES2)],
+            codec=codec)
+        return document.extract_document("https://x/scan.pdf", pdf)
+
+    @pytest.mark.parametrize("codec", ["flate", "dct"])
+    def test_scanned_gate_takes_raster_path(self, codec):
+        doc = self._doc(codec)
+        assert doc["status"] == "ok"
+        assert doc["page_count"] == 2
+        assert doc["title"] == "Scan 7 alpha beta"
+        assert doc["raw_text"] == "\n".join(TEXT1 + TEXT2)
+
+    def test_fields_extracted_and_anchored(self):
+        doc = self._doc()
+        by_name = {f["name"]: f for f in doc["fields"]}
+        assert by_name["invoice_number"]["value"] == "INV-42000099"
+        assert by_name["total"]["value"] == "$1,234.56"
+        # K9 anchoring works on glyph word boxes
+        assert by_name["invoice_number"]["bbox"] is not None
+        assert by_name["invoice_number"]["page"] == 1
+        cands = by_name["invoice_number"]["candidates"]
+        assert all(c["source"] == "ocr_fallback" for c in cands)
+
+    def test_corrupt_page_contained(self):
+        pdf = bytearray(pdf_text.build_scanned_pdf(
+            [glyphs.render_page(LINES1), glyphs.render_page(LINES2)],
+            codec="flate"))
+        i = pdf.find(b"stream\n", pdf.find(b"/Subtype /Image")) + 7
+        pdf[i:i + 4] = b"XXXX"
+        doc = document.extract_document("https://x/scan.pdf", bytes(pdf))
+        assert doc["status"] == "ok"
+        assert doc["page_count"] == 2
+        assert doc["raw_text"] == "\n".join(TEXT2)  # page 1 lost, page 2 kept
+
+    def test_text_layer_pdfs_stay_on_native_path(self):
+        pdf = pdf_text.build_pdf_pages(
+            [[(72.0, 72.0, "Big Title here with many many chars", 24.0),
+              (72.0, 130.0, "A body line that is comfortably over the "
+                            "hundred character scanned gate threshold so "
+                            "the native path is taken.", 12.0)]])
+        doc = document.extract_document("https://x/a.pdf", pdf)
+        assert doc["pages"][0]["text_lines"][0]["style"] is not None  # native
+
+
+class TestGeneratorScanned:
+    def test_scanned_rows_byte_identical(self):
+        from horizon_ocr_python_spark.sources import pages
+
+        n_scanned = 0
+        for i in range(200):
+            p = pages.make_page(i, seed=42)
+            if p["kind"] != "scanned_pdf":
+                continue
+            n_scanned += 1
+            doc = document.extract_document(p["url"], p["html"],
+                                            p["warc_ts"], p["lang"])
+            assert doc["status"] == "ok"
+            assert doc["raw_text"] == p["text"], p["url"]
+            assert doc["title"] == p["expected_title"]
+        assert n_scanned >= 3  # the corpus actually carries scanned rows
