@@ -66,6 +66,60 @@ def parse_image_meta(data: bytes) -> dict:
     return {"format": "unknown", "width": 0, "height": 0, "n_bytes": n}
 
 
+_EXIF_ORIENTATION_TAG = 274
+
+
+def exif_orientation(data: bytes) -> int:
+    """Read the EXIF orientation (1-8) from a JPEG APP1 segment or a TIFF
+    IFD; 1 (upright) when absent or unparseable. The reference reads this
+    on every image load (io/image.py:81-148). The APP1 payload is
+    "Exif\\0\\0" + a TIFF structure whose offsets are relative to the TIFF
+    header — kernel.simple_images.read_ifd handles that via `base`."""
+    from .simple_images import read_ifd
+
+    try:
+        if data[:4] in (b"II*\x00", b"MM\x00*"):  # bare TIFF file
+            _, values = read_ifd(data)
+            return int(values(_EXIF_ORIENTATION_TAG, [1])[0])
+        if data[:3] != b"\xff\xd8\xff":
+            return 1
+        i, n = 2, len(data)
+        while i + 4 < n:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+            if marker == 0xE1 and data[i + 4:i + 10] == b"Exif\x00\x00":
+                _, values = read_ifd(data, base=i + 10)
+                return int(values(_EXIF_ORIENTATION_TAG, [1])[0])
+            if marker == 0xDA:  # entropy data: no APP segments past here
+                break
+            i += 2 + seg_len
+    except Exception:
+        pass
+    return 1
+
+
+def inject_exif_orientation(jpeg_data: bytes, orientation: int) -> bytes:
+    """Insert an APP1 Exif segment carrying just the orientation tag right
+    after SOI — the test/writer twin of exif_orientation."""
+    tiff = (b"II*\x00" + struct.pack("<I", 8)           # header, IFD at 8
+            + struct.pack("<H", 1)                      # one entry
+            + struct.pack("<HHIHH", _EXIF_ORIENTATION_TAG, 3, 1,
+                          orientation, 0)
+            + struct.pack("<I", 0))                     # no next IFD
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return jpeg_data[:2] + app1 + jpeg_data[2:]
+
+
 def decode_image(data: bytes, fake: bool = False) -> np.ndarray:
     """Decode image bytes to an HxWx3 BGR uint8 array (io/image.py:49-79).
 
@@ -90,6 +144,8 @@ def decode_image(data: bytes, fake: bool = False) -> np.ndarray:
             from .jpeg import decode_jpeg
 
             rgb = decode_jpeg(data)
+            # EXIF orientation applied on every load (io/image.py:100-148)
+            rgb = apply_exif_orientation(rgb, exif_orientation(data))
             return np.ascontiguousarray(rgb[..., ::-1])  # RGB -> BGR
         if meta["format"] == "bmp":
             from .simple_images import decode_bmp
@@ -98,7 +154,9 @@ def decode_image(data: bytes, fake: bool = False) -> np.ndarray:
         if meta["format"] == "tiff":
             from .simple_images import decode_tiff
 
-            return np.ascontiguousarray(decode_tiff(data)[..., ::-1])
+            img = apply_exif_orientation(decode_tiff(data),
+                                         exif_orientation(data))
+            return np.ascontiguousarray(img[..., ::-1])
         raise NotImplementedError(
             f"{meta['format']} decoding requires a codec library (not in "
             "this container). Pass fake=True for the deterministic test "

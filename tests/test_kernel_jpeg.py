@@ -120,3 +120,48 @@ class TestFillBytes:
         i = data.index(b"\xff\xc0")
         padded = data[:i] + b"\xff\xff\xff" + data[i:]
         assert (jpeg.decode_jpeg(padded) == jpeg.decode_jpeg(data)).all()
+
+
+class TestExifOrientation:
+    """Round-3: APP1 Exif orientation parsed and applied on image load
+    (reference io/image.py:81-148)."""
+
+    def test_no_app1_defaults_upright(self):
+        data = jpeg.encode_jpeg(_gradient(16, 16), 90)
+        assert multimodal.exif_orientation(data) == 1
+
+    def test_all_eight_orientations_applied(self):
+        img = _gradient(24, 16)
+        enc = jpeg.encode_jpeg(img, 95)
+        base = multimodal.decode_image(enc)
+        for o in range(1, 9):
+            tagged = multimodal.inject_exif_orientation(enc, o)
+            assert multimodal.exif_orientation(tagged) == o
+            got = multimodal.decode_image(tagged)
+            want = multimodal.apply_exif_orientation(base, o)
+            assert got.shape == want.shape
+            assert (got == want).all(), o
+
+    def test_rotate_90_pair_roundtrips(self):
+        img = _gradient(24, 16)
+        a = multimodal.apply_exif_orientation(img, 6)
+        assert a.shape[:2] == (16, 24)
+        assert (multimodal.apply_exif_orientation(a, 8) == img).all()
+
+    def test_header_dims_unchanged_but_decode_rotated(self):
+        enc = multimodal.inject_exif_orientation(
+            jpeg.encode_jpeg(_gradient(32, 16), 92), 6)
+        meta = multimodal.parse_image_meta(enc)
+        assert (meta["width"], meta["height"]) == (16, 32)  # stored dims
+        assert multimodal.decode_image(enc).shape[:2] == (16, 32)
+
+    def test_pipeline_rotated_jpeg_row(self):
+        from horizon_ocr_python_spark.kernel.document import extract_document
+
+        enc = multimodal.inject_exif_orientation(
+            jpeg.encode_jpeg(_gradient(64, 32), 92), 6)
+        doc = extract_document("https://x/rot.jpg", enc)
+        assert doc["status"] == "ok"
+        page = doc["pages"][0]["metadata"]
+        # 64x32 stored, orientation 6 -> displayed 32 tall x 64 wide
+        assert (page["width"], page["height"]) == (64, 32)
