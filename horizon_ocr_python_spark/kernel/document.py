@@ -239,7 +239,7 @@ def _extract(url: str, payload: bytes, warc_ts: Any, lang: str,
             scanned = _extract_scanned(payload)
             if scanned is not None:
                 (page_dims, n_pages, page_text_lines, page_regions,
-                 readability, readability_issues) = scanned
+                 scan_tables, readability, readability_issues) = scanned
                 field_lists = [kie.extract_kv_fields(
                     [tl["text"] for tl in page_text_lines[p]],
                     confidence=0.85, page_num=p, source="ocr_fallback")
@@ -253,7 +253,7 @@ def _extract(url: str, payload: bytes, warc_ts: Any, lang: str,
                 ex_raw = "\n".join(tl["text"] for tl in all_lines)
                 return _assemble(url, payload, warc_ts, lang, now, st,
                                  file_type, page_dims, n_pages,
-                                 page_text_lines, page_regions, [],
+                                 page_text_lines, page_regions, scan_tables,
                                  field_lists, ex_title, ex_raw,
                                  readability, readability_issues)
         page_dims = (pdf_text.PAGE_W, pdf_text.PAGE_H)
@@ -333,13 +333,14 @@ def _extract_scanned(payload: bytes):
     Returns (page_dims, n_pages, page_text_lines, page_regions,
     readability, readability_issues) or None when the PDF embeds no
     decodable images (stays on the text path)."""
-    from . import glyphs, preprocess
+    from . import glyphs, preprocess, table_model
 
     images = pdf_text.extract_pdf_images(payload)
     if not images:
         return None
     page_text_lines: dict[int, list[dict]] = {}
     page_regions: dict[int, list[dict]] = {}
+    tables_rows: list[dict] = []
     page_dims = (pdf_text.PAGE_W, pdf_text.PAGE_H)
     readability, readability_issues = "good", []
     for p, img in enumerate(images, 1):
@@ -353,6 +354,12 @@ def _extract_scanned(payload: bytes):
         pre = preprocess.preprocess_for_ocr(img)
         gray = preprocess.to_gray(pre) if pre.ndim == 3 else pre
         lines = glyphs.recognize_page(gray)
+        # borderless raster tables (whitespace-alignment detection, the
+        # D13 shape on pixels); consumed lines leave the text flow — table
+        # text is structured output, not raw_text (same rule as HTML)
+        page_tables, consumed = table_model.detect_raster_tables(lines, page=p)
+        tables_rows.extend(page_tables)
+        lines = [ln for k, ln in enumerate(lines) if k not in consumed]
         page_text_lines[p] = [{
             "text": ln["text"],
             "page": p,
@@ -363,9 +370,11 @@ def _extract_scanned(payload: bytes):
         } for ln in lines]
         page_regions[p] = [{"type": "text", "bbox": tl["bbox"], "page": p,
                             "confidence": ln["confidence"]}
-                           for tl, ln in zip(page_text_lines[p], lines)]
+                           for tl, ln in zip(page_text_lines[p], lines)] + \
+            [{"type": "table", "bbox": t["cells"][0]["bbox"], "page": p,
+              "confidence": 1.0} for t in page_tables]
     return (page_dims, len(images), page_text_lines, page_regions,
-            readability, readability_issues)
+            tables_rows, readability, readability_issues)
 
 
 def _assemble(url, payload, warc_ts, lang, now, st, file_type, page_dims,
@@ -383,7 +392,8 @@ def _assemble(url, payload, warc_ts, lang, now, st, file_type, page_dims,
                 if key and v and key not in data:
                     data[key] = v.strip()
             table_fields.extend(kie.flatten_to_fields(
-                data, confidence=0.85, page_num=1, source="html_table"))
+                data, confidence=0.85, page_num=t.get("page", 1),
+                source="html_table"))
 
     fields = fuse_mod.fuse_fields(
         field_lists + [table_fields], strategy=st["strategy"],

@@ -86,3 +86,85 @@ def from_flat_rows(rows: list[list[str]]) -> dict:
     n_cols = max((len(r) for r in rows), default=0)
     return {"cells": cells, "n_rows": n_rows, "n_cols": n_cols,
             "rows": [list(r) + [""] * (n_cols - len(r)) for r in rows]}
+
+
+# --- raster (scanned-page) table detection -----------------------------------
+# The borderless-table path for recognized glyph pages: column structure is
+# found from WHITESPACE ALIGNMENT across consecutive lines — the same 1-D
+# gap clustering idea as D13 (reference table_structure fallback; our
+# kernel/reading_order.cluster_positions_1d twin), driven purely by the
+# recognizer's fixed-pitch geometry. A run of >=2 consecutive lines, each
+# splitting into the same >=2 column segments at aligned x-starts, becomes
+# a Table whose cells carry REAL pixel bboxes (so strategy-4 anchoring
+# works on scanned documents — the reference's image-cell capability, O8).
+
+import re as _re
+
+_GAP_RE = _re.compile(r" {3,}")
+
+
+def split_segments(line: dict) -> list[dict]:
+    """Split a recognized line into column segments at runs of >=3 space
+    cells. Uses the glyph geometry: char index i sits at x + i*pitch."""
+    text = line["text"]
+    size = float(line.get("font_size") or 14.0)
+    s = size / 7.0
+    pitch = 6.0 * s
+    x0 = float(line["x"])
+    y0 = float(line["bbox"][1]) if line.get("bbox") else 0.0
+    bounds = []
+    prev = 0
+    for m in _GAP_RE.finditer(text):
+        if prev < m.start():
+            bounds.append((prev, m.start()))
+        prev = m.end()
+    if prev < len(text):
+        bounds.append((prev, len(text)))
+    return [{
+        "text": text[a:b],
+        "x": x0 + a * pitch,
+        "bbox": (x0 + a * pitch, y0, x0 + b * pitch - s, y0 + size),
+    } for a, b in bounds]
+
+
+def detect_raster_tables(lines: list[dict], page: int = 1,
+                         min_rows: int = 2) -> tuple[list[dict], set[int]]:
+    """Detect borderless tables in recognized lines (one page).
+
+    Returns (tables, consumed_line_indices). A table is a maximal run of
+    consecutive lines with the same >=2 column segmentation, x-starts
+    aligned within half a glyph pitch."""
+    segs = [split_segments(ln) for ln in lines]
+    tables: list[dict] = []
+    consumed: set[int] = set()
+    i = 0
+    while i < len(lines):
+        if len(segs[i]) < 2:
+            i += 1
+            continue
+        s = float(lines[i].get("font_size") or 14.0) / 7.0
+        tol = 3.0 * s  # half a cell pitch
+        run = [i]
+        j = i + 1
+        while (j < len(lines) and len(segs[j]) == len(segs[i])
+               and all(abs(a["x"] - b["x"]) <= tol
+                       for a, b in zip(segs[j], segs[i]))):
+            run.append(j)
+            j += 1
+        if len(run) >= min_rows:
+            cells = []
+            for r, li in enumerate(run):
+                for c, seg in enumerate(segs[li]):
+                    cell = make_cell(r, c, seg["text"], bbox=seg["bbox"])
+                    cell["page"] = page
+                    cells.append(cell)
+            n_cols = len(segs[i])
+            table = {"cells": cells, "n_rows": len(run), "n_cols": n_cols,
+                     "page": page}
+            table["rows"] = [get_row_texts(table, r) for r in range(len(run))]
+            tables.append(table)
+            consumed.update(run)
+            i = j
+        else:
+            i += 1
+    return tables, consumed

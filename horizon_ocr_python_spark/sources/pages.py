@@ -134,11 +134,26 @@ def make_page(i: int, seed: int = 42, n_hosts: int = 50, scale: int = 1) -> dict
         title = f"Scan {i} " + " ".join(rng.choice(WORDS) for _ in range(2))
         body = [_sentence(rng, rng.randint(3, 4))[:cap2]
                 for _ in range(rng.randint(4, 24))]
-        text_lines = body + kv_lines
+        # ~half the scanned docs carry the kv block as a two-column TABLE
+        # (label col at cell 0, value col at cell 18): the raster
+        # borderless-table detector must recover it — table text is
+        # structured output, excluded from raw_text (same rule as HTML)
+        as_table = rng.random() < 0.5
+        if as_table:
+            text_lines = list(body)
+            kv_rows = [("Invoice Number", invoice_no), ("Date", date_str),
+                       ("Total", total_str)]
+            render_lines = body + [lbl.ljust(18) + val for lbl, val in kv_rows]
+        else:
+            text_lines = body + kv_lines
+            render_lines = text_lines
         page_specs: list[list[tuple]] = [[(36, 72, title, 3)]]
         y = 120
-        for tl in text_lines:
-            if y > 760:
+        for k, tl in enumerate(render_lines):
+            # keep the 3-row kv table on ONE page: a split run would fall
+            # under the detector's min_rows and leak into the text flow
+            block_rows = 3 if (as_table and k == len(render_lines) - 3) else 1
+            if y + (block_rows - 1) * 24 > 760:
                 page_specs.append([])
                 y = 72
             page_specs[-1].append((36, y, tl, 2))

@@ -143,3 +143,60 @@ class TestGeneratorScanned:
             assert doc["raw_text"] == p["text"], p["url"]
             assert doc["title"] == p["expected_title"]
         assert n_scanned >= 3  # the corpus actually carries scanned rows
+
+
+class TestRasterTables:
+    """Borderless-table detection on recognized glyph pages (O8 image-cell
+    capture + the D13 whitespace-alignment shape on pixels)."""
+
+    TABLE_LINES = [(36, 72, "Scan 3 alpha", 3),
+                   (36, 120, "short body line one", 2),
+                   (36, 150, "Invoice Number" + " " * 4 + "INV-42000012", 2),
+                   (36, 174, "Date" + " " * 14 + "2026-03-01", 2),
+                   (36, 198, "Total" + " " * 13 + "$1,234.56", 2),
+                   (36, 240, "closing body line", 2)]
+
+    def _doc(self):
+        pdf = pdf_text.build_scanned_pdf(
+            [glyphs.render_page(self.TABLE_LINES)], codec="flate")
+        return document.extract_document("https://x/scan-t.pdf", pdf)
+
+    def test_detector_finds_grid(self):
+        from horizon_ocr_python_spark.kernel import table_model
+
+        lines = glyphs.recognize_page(glyphs.render_page(self.TABLE_LINES))
+        tables, consumed = table_model.detect_raster_tables(lines)
+        assert len(tables) == 1
+        assert tables[0]["rows"] == [["Invoice Number", "INV-42000012"],
+                                     ["Date", "2026-03-01"],
+                                     ["Total", "$1,234.56"]]
+        assert consumed == {2, 3, 4}
+        assert all(c["bbox"] is not None for c in tables[0]["cells"])
+
+    def test_single_aligned_line_not_a_table(self):
+        from horizon_ocr_python_spark.kernel import table_model
+
+        lines = glyphs.recognize_page(glyphs.render_page(
+            [(36, 72, "label" + " " * 5 + "value", 2),
+             (36, 120, "plain body text", 2)]))
+        tables, consumed = table_model.detect_raster_tables(lines)
+        assert tables == [] and consumed == set()
+
+    def test_table_text_excluded_from_raw_text(self):
+        doc = self._doc()
+        assert doc["raw_text"] == ("Scan 3 alpha\nshort body line one\n"
+                                   "closing body line")
+        assert len(doc["tables"]) == 1
+
+    def test_fields_mined_and_anchored_to_cells(self):
+        doc = self._doc()
+        f = {f["name"]: f for f in doc["fields"]}
+        assert f["invoice_number"]["value"] == "INV-42000012"
+        assert f["total"]["value"] == "$1,234.56"
+        assert f["invoice_number"]["bbox"] is not None  # strategy-4 cell box
+        assert f["invoice_number"]["page"] == 1
+
+    def test_table_region_reported(self):
+        doc = self._doc()
+        kinds = [r["type"] for r in doc["pages"][0]["layout_regions"]]
+        assert "table" in kinds
