@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v5_regex_validate": validators_sql.v5_regex_validate,
         "r3_font_bins": validators_sql.r3_font_bins,
         "table_cell_rowtexts": tables_rich.table_cell_rowtexts,
+        "tpch_q5_local_supplier_volume": relational.tpch_q5_local_supplier_volume,
+        "s3_exif_dims": extras.s3_exif_dims,
+        "s1_scanned_gate": extras.s1_scanned_gate,
         "v6_non_empty": validators_sql.v6_non_empty,
         "v7_validator_dispatch": validators_sql.v7_validator_dispatch,
         "v8_cross_field": validators_sql.v8_cross_field,
@@ -173,6 +176,9 @@ def oracle_sql() -> dict[str, str]:
         "v5_regex_validate": validators_sql.V5_REGEX_VALIDATE_SQL,
         "r3_font_bins": validators_sql.R3_FONT_BINS_SQL,
         "table_cell_rowtexts": tables_rich.TABLE_CELL_ROWTEXTS_SQL,
+        "tpch_q5_local_supplier_volume": relational.TPCH_Q5_SQL,
+        "s3_exif_dims": extras.S3_EXIF_DIMS_SQL,
+        "s1_scanned_gate": extras.S1_SCANNED_GATE_SQL,
         "v6_non_empty": validators_sql.V6_NON_EMPTY_SQL,
         "v7_validator_dispatch": validators_sql.V7_VALIDATOR_DISPATCH_SQL,
         "v8_cross_field": validators_sql.V8_CROSS_FIELD_SQL,

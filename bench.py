@@ -51,10 +51,10 @@ def main() -> None:
     # flagship extraction pipeline. Input is materialized to parquet first
     # (untimed — BASELINE.md protocol: build the table once; the measured
     # job is read -> salted repartition -> fused extraction -> count).
-    # cache key carries a generator version: round 2 changed the synthetic
-    # corpus (multi-page/compressed PDFs, JPEG images) — a stale cache would
-    # silently bench the old workload
-    pages_path = f"/tmp/bench_pages_{N_PAGES}_g2"
+    # cache key carries a generator version: round 3 added scanned/image-only
+    # PDFs (glyph pages behind /Image XObjects) to the corpus — a stale cache
+    # would silently bench the old workload
+    pages_path = f"/tmp/bench_pages_{N_PAGES}_g3"
     if not os.path.exists(pages_path):
         pages_dataframe(spark, N_PAGES, seed=42, slices=2 * CPUS) \
             .write.parquet(pages_path)

@@ -505,9 +505,12 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list[dict],
                 for ci, c in enumerate(scan):
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
-                            zz = _decode_block(br, huff[(0, c["dc"])],
-                                               huff[(1, c["ac"])], preds, ci)
-                            store[ci][my * c["v"] + by, mx * c["h"] + bx] = zz
+                            # decode straight into the (pre-zeroed) store
+                            # row view — no per-block alloc + copy
+                            _decode_block(br, huff[(0, c["dc"])],
+                                          huff[(1, c["ac"])], preds, ci,
+                                          store[ci][my * c["v"] + by,
+                                                    mx * c["h"] + bx])
             except (EOFError, _RestartMarker):
                 # truncated stream: decode what we have (containment)
                 return _finish(store, scan, quant, h, w, hmax, vmax)
@@ -530,8 +533,7 @@ def _skip_to_restart(br: _BitReader):
 
 
 def _decode_block(br: _BitReader, dc_map: dict, ac_map: dict,
-                  preds: list[int], ci: int) -> np.ndarray:
-    zz = np.zeros(64, dtype=np.int32)
+                  preds: list[int], ci: int, zz: np.ndarray) -> np.ndarray:
     t = _decode_symbol(br, dc_map)
     diff = _extend(br.read_bits(t), t) if t else 0
     preds[ci] += diff
@@ -558,11 +560,23 @@ def _finish(store, scan, quant, h, w, hmax, vmax) -> np.ndarray:
     for ci, c in enumerate(scan):
         zz = store[ci]
         bh, bw = zz.shape[:2]
-        coeffs = np.zeros((bh * bw, 64), dtype=np.float64)
-        coeffs[:, ZIGZAG] = zz.reshape(-1, 64)
-        coeffs = coeffs * quant[c["tq"]].astype(np.float64)
-        blocks = coeffs.reshape(-1, 8, 8)
-        spatial = np.einsum("ji,njk,kl->nil", _C, blocks, _C) + 128.0
+        flat = zz.reshape(-1, 64)
+        # DC-only fast path: document scans are mostly uniform background,
+        # so the bulk of blocks carry no AC energy — their IDCT is the
+        # constant dc*C00*C00 (same multiply order as the einsum term, so
+        # the value is bit-identical to the full transform's).
+        has_ac = flat[:, 1:].any(axis=1)
+        spatial = np.empty((bh * bw, 8, 8), dtype=np.float64)
+        dc = flat[:, 0].astype(np.float64) * float(quant[c["tq"]][0])
+        spatial[:] = (dc * _C[0, 0] * _C[0, 0])[:, None, None]
+        idx = np.flatnonzero(has_ac)
+        if idx.size:
+            coeffs = np.zeros((idx.size, 64), dtype=np.float64)
+            coeffs[:, ZIGZAG] = flat[idx]
+            coeffs *= quant[c["tq"]].astype(np.float64)
+            blocks = coeffs.reshape(-1, 8, 8)
+            spatial[idx] = np.einsum("ji,njk,kl->nil", _C, blocks, _C)
+        spatial += 128.0
         plane = (spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
                  .reshape(bh * 8, bw * 8))
         # upsample to full resolution
@@ -578,4 +592,6 @@ def _finish(store, scan, quant, h, w, hmax, vmax) -> np.ndarray:
         rgb = np.stack([r, g, b], axis=-1)
     else:
         rgb = np.stack([y] * 3, axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    np.rint(rgb, out=rgb)
+    np.clip(rgb, 0, 255, out=rgb)
+    return rgb.astype(np.uint8)

@@ -284,3 +284,75 @@ SELECT CAST(run_id AS BIGINT) AS run_id, lower(entity) AS name, value,
 FROM grouped
 ORDER BY run_id
 """
+
+
+def s3_exif_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 EXIF orientation algebra in dataset form: orientations 5-8
+    transpose the displayed frame (kernel/multimodal.EXIF_ORIENTATION_OPS;
+    reference io/image.py:100-148), 2/4/5/7 mirror it. Synthesized stored
+    dims per customer; output = displayed dims + the mirrored flag — the
+    dataset-observable contract of the orientation table."""
+    cust = table(spark, sf_dir, "customer")
+    orientation = (F.col("c_custkey") % 8 + 1).cast("int")
+    w0 = (F.lit(320) + (F.col("c_custkey") % 5) * 64).cast("int")
+    h0 = (F.lit(240) + (F.col("c_custkey") % 3) * 80).cast("int")
+    transposed = orientation >= 5
+    mirrored = orientation.isin(2, 4, 5, 7)
+    return (cust.select(
+        "c_custkey", orientation.alias("orientation"),
+        w0.alias("stored_w"), h0.alias("stored_h"),
+        F.when(transposed, h0).otherwise(w0).alias("disp_w"),
+        F.when(transposed, w0).otherwise(h0).alias("disp_h"),
+        mirrored.alias("mirrored"))
+        .orderBy("c_custkey"))
+
+
+S3_EXIF_DIMS_SQL = """
+WITH base AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 8 + 1 AS INT) AS orientation,
+         CAST(320 + (c_custkey % 5) * 64 AS INT) AS stored_w,
+         CAST(240 + (c_custkey % 3) * 80 AS INT) AS stored_h
+  FROM customer
+)
+SELECT c_custkey, orientation, stored_w, stored_h,
+       CASE WHEN orientation >= 5 THEN stored_h ELSE stored_w END AS disp_w,
+       CASE WHEN orientation >= 5 THEN stored_w ELSE stored_h END AS disp_h,
+       orientation IN (2, 4, 5, 7) AS mirrored
+FROM base
+ORDER BY c_custkey
+"""
+
+
+SCANNED_GATE_CHARS = 300
+
+
+def s1_scanned_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scanned-PDF routing gate as a dataset operator
+    (pdf_style_extractor.py:67-98: chars <= threshold -> raster/OCR path):
+    per-route document counts + char stats — the dispatch + rollup the
+    batch driver runs to size the expensive OCR stage before launching it."""
+    docs = table(spark, sf_dir, "documents")
+    route = (F.when(F.length("text") <= SCANNED_GATE_CHARS, "ocr_path")
+             .otherwise("native_path"))
+    return (docs.select(route.alias("route"),
+                        F.length("text").alias("n_chars"))
+            .groupBy("route")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+            .orderBy("route"))
+
+
+S1_SCANNED_GATE_SQL = f"""
+SELECT CASE WHEN length(text) <= {SCANNED_GATE_CHARS}
+            THEN 'ocr_path' ELSE 'native_path' END AS route,
+       count(*) AS n_docs,
+       min(length(text)) AS min_chars,
+       max(length(text)) AS max_chars,
+       round(avg(length(text)), 4) AS avg_chars
+FROM documents
+GROUP BY 1
+ORDER BY route
+"""

@@ -145,3 +145,50 @@ EXCEPT
 SELECT DISTINCT user_id FROM events WHERE value > 380
 ORDER BY user_id
 """
+
+
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the six-table star join — customer/orders/lineitem
+    fact chain equi-joined with the supplier side co-located on nationkey,
+    dimension tables (nation, region) broadcast. Per-nation revenue for
+    one region and one order year. Exercises join reordering + broadcast
+    selection + partial aggregation in a single plan."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (cust
+            .join(orders, cust.c_custkey == orders.o_custkey)
+            .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+            .join(li, F.col("o_orderkey") == li.l_orderkey)
+            .join(sup, (li.l_suppkey == sup.s_suppkey)
+                  & (cust.c_nationkey == sup.s_nationkey))
+            .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .filter(F.col("r_name") == "ASIA")
+            .groupBy("n_name")
+            .agg(F.round(F.sum(revenue), 2).alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy(F.col("revenue").desc(), "n_name"))
+
+
+TPCH_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
