@@ -351,6 +351,18 @@ def _extract_scanned(payload: bytes):
         if p == 1:
             page_dims = (int(img.shape[1]), int(img.shape[0]))
             readability, readability_issues = preprocess.assess_readability(img)
+        # O10 orientation detection FIRST, on the raw image (the OSD order
+        # the reference uses: coarse 90-degree orientation before fine
+        # deskew — deskew on a sideways page destroys the glyph grid).
+        # Upright pages short-circuit after one recognition pass.
+        import numpy as np
+
+        gray0 = preprocess.to_gray(img) if img.ndim == 3 else img
+        _, rot_k, _osd = glyphs.recognize_with_osd(gray0)
+        if rot_k:
+            img = np.ascontiguousarray(np.rot90(img, rot_k))
+            if p == 1 and rot_k % 2:
+                page_dims = (page_dims[1], page_dims[0])
         pre = preprocess.preprocess_for_ocr(img)
         gray = preprocess.to_gray(pre) if pre.ndim == 3 else pre
         lines = glyphs.recognize_page(gray)

@@ -194,3 +194,36 @@ def recognize_page(gray: np.ndarray, ink_threshold: int = 128) -> list[dict]:
 def max_chars(width: int = 612, margin: int = 36, scale: int = 2) -> int:
     """How many glyph cells fit on one line — the generator's wrap bound."""
     return (width - 2 * margin) // (PITCH * scale)
+
+
+def _osd_score(lines: list[dict]) -> float:
+    """Char-weighted mean template confidence — the OSD quality signal."""
+    chars = sum(len(ln["text"]) for ln in lines)
+    if not chars:
+        return 0.0
+    return sum(ln["confidence"] * len(ln["text"]) for ln in lines) / chars
+
+
+def recognize_with_osd(gray: np.ndarray,
+                       accept: float = 0.9) -> tuple[list[dict], int, float]:
+    """O10 orientation detection for the raster path (the reference's
+    Tesseract-OSD slot, orientation_and_script_detection): recognize at
+    each of the four page rotations and keep the one whose char-weighted
+    template confidence wins — recognition score IS the osd signal, the
+    same decision rule OSD engines use. Upright pages short-circuit after
+    one pass (score >= `accept`), so the 4x cost is paid only by actually
+    rotated scans.
+
+    Returns (lines, k, score): `k` is the number of CCW quarter-turns that
+    upright the stored image (np.rot90(stored, k)); lines come from the
+    corrected image, so downstream never sees rotated geometry."""
+    best: tuple[list[dict], int, float] | None = None
+    for k in range(4):
+        img = gray if k == 0 else np.rot90(gray, k)
+        lines = recognize_page(img)
+        score = _osd_score(lines)
+        if k == 0 and score >= accept and lines:
+            return lines, 0, score
+        if best is None or score > best[2]:
+            best = (lines, k, score)
+    return best

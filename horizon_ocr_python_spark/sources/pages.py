@@ -159,6 +159,15 @@ def make_page(i: int, seed: int = 42, n_hosts: int = 50, scale: int = 1) -> dict
             page_specs[-1].append((36, y, tl, 2))
             y += 24
         images = [glyphs.render_page(spec) for spec in page_specs]
+        # ~25% of scanned docs are stored ROTATED (the scanner fed the page
+        # sideways/upside-down) — extraction's O10 orientation detection
+        # must recover the upright text; ground truth is unchanged
+        if rng.random() < 0.25:
+            import numpy as np
+
+            rot_k = rng.randint(1, 3)
+            images = [np.ascontiguousarray(np.rot90(im, -rot_k))
+                      for im in images]
         payload = pdf_text.build_scanned_pdf(
             images, codec="dct" if rng.random() < 0.5 else "flate")
         expected_text = "\n".join([title] + text_lines)

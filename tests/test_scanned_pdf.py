@@ -200,3 +200,52 @@ class TestRasterTables:
         doc = self._doc()
         kinds = [r["type"] for r in doc["pages"][0]["layout_regions"]]
         assert "table" in kinds
+
+
+class TestOrientationDetection:
+    """O10 orientation detect (the Tesseract-OSD slot): recognition-score
+    voting over the 4 page rotations, upright short-circuit."""
+
+    PAGE = [(36, 72, "Scan 9 alpha beta", 3),
+            (36, 130, "Invoice Number: INV-42000099", 2),
+            (36, 154, "data spark table query", 2)]
+
+    @pytest.mark.parametrize("stored_k", [0, 1, 2, 3])
+    def test_all_rotations_recovered(self, stored_k):
+        page = glyphs.render_page(self.PAGE)
+        stored = np.rot90(page, -stored_k)
+        lines, k, score = glyphs.recognize_with_osd(stored)
+        assert k == stored_k
+        assert [ln["text"] for ln in lines] == [t for _, _, t, _ in self.PAGE]
+        assert score == 1.0
+
+    def test_upright_short_circuits(self):
+        """k=0 with a clean page must return after ONE recognition pass —
+        pinned by the accept threshold semantics (score>=accept)."""
+        page = glyphs.render_page(self.PAGE)
+        lines, k, score = glyphs.recognize_with_osd(page, accept=0.9)
+        assert k == 0 and score >= 0.9
+
+    def test_blank_page_defaults_upright(self):
+        blank = np.full((100, 100), 255, dtype=np.uint8)
+        lines, k, score = glyphs.recognize_with_osd(blank)
+        assert lines == [] and k == 0 and score == 0.0
+
+    def test_rotated_scanned_pdf_pipeline(self):
+        page = glyphs.render_page([(36, 72, "Scan 1 upside down", 3),
+                                   (36, 130, "Total: $9.99", 2)])
+        rot = np.ascontiguousarray(np.rot90(page, -2))
+        pdf = pdf_text.build_scanned_pdf([rot], codec="dct")
+        doc = document.extract_document("https://x/rot.pdf", pdf)
+        assert doc["raw_text"] == "Scan 1 upside down\nTotal: $9.99"
+        assert doc["title"] == "Scan 1 upside down"
+
+    def test_sideways_page_dims_uprighted(self):
+        page = glyphs.render_page([(36, 72, "Scan 2 sideways", 3),
+                                   (36, 130, "body line here", 2)])
+        rot = np.ascontiguousarray(np.rot90(page, -1))
+        pdf = pdf_text.build_scanned_pdf([rot], codec="flate")
+        doc = document.extract_document("https://x/side.pdf", pdf)
+        meta = doc["pages"][0]["metadata"]
+        assert (meta["width"], meta["height"]) == (612, 792)  # upright dims
+        assert doc["raw_text"] == "Scan 2 sideways\nbody line here"
