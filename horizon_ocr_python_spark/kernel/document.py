@@ -366,6 +366,33 @@ def _extract_scanned(payload: bytes):
         pre = preprocess.preprocess_for_ocr(img)
         gray = preprocess.to_gray(pre) if pre.ndim == 3 else pre
         lines = glyphs.recognize_page(gray)
+        # O7 targeted re-OCR with O4 positional write-back: low-confidence
+        # lines (faded/hazy strokes the default ink threshold misses) get a
+        # second-effort threshold-sweep recognition; the reference's
+        # selection/acceptance rules (targeted_reocr.py:150-178, 440-443)
+        # apply verbatim via kernel.reocr, and accepted results replace the
+        # line's text/words in place — the line-update join of
+        # orchestrator's OCR batch application.
+        from . import reocr as reocr_mod
+
+        enhanced: dict[int, dict] = {}
+
+        def _recompute(line: dict) -> tuple[str, float]:
+            new = glyphs.recognize_line_enhanced(gray, line["bbox"])
+            if new is None:
+                return line["text"], line["confidence"]
+            enhanced[id(line)] = new
+            return new["text"], new["confidence"]
+
+        # threshold calibrated to the glyph recognizer's confidence scale
+        # (even random ink matches ~0.7 against the best of 95 templates;
+        # clean lines sit >= 0.95) — the reference exposes exactly this
+        # knob (reocr confidence_threshold, config.py:221).
+        reocr_mod.process_lines(lines, _recompute, threshold=0.90,
+                                source="ocr_enhanced")
+        for ln in lines:
+            if ln.get("source") == "ocr_enhanced" and id(ln) in enhanced:
+                ln["words"] = enhanced[id(ln)]["words"]
         # borderless raster tables (whitespace-alignment detection, the
         # D13 shape on pixels); consumed lines leave the text flow — table
         # text is structured output, not raw_text (same rule as HTML)

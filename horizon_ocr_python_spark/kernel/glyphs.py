@@ -227,3 +227,33 @@ def recognize_with_osd(gray: np.ndarray,
         if best is None or score > best[2]:
             best = (lines, k, score)
     return best
+
+
+def recognize_line_enhanced(gray: np.ndarray, bbox: tuple,
+                            thresholds: tuple = (96, 160, 192)) -> dict | None:
+    """Second-effort re-recognition of one line (the O7 recompute slot):
+    crop the line's band and sweep the ink threshold — the enhancement
+    dimension our pixel model actually has (faded ink / haze moves strokes
+    across a fixed threshold; the sweep recovers them). Returns the best
+    re-recognized line dict (bbox/words shifted back to page coordinates)
+    or None when no threshold finds a line."""
+    y0 = max(0, int(bbox[1]))
+    y1 = int(bbox[3]) + 1
+    crop = gray[y0:y1]
+    best: dict | None = None
+    for t in thresholds:
+        cand = recognize_page(crop, ink_threshold=t)
+        if not cand:
+            continue
+        ln = cand[0]
+        if best is None or ln["confidence"] > best["confidence"]:
+            best = ln
+    if best is None:
+        return None
+    best["y"] += y0
+    best["bbox"] = (best["bbox"][0], best["bbox"][1] + y0,
+                    best["bbox"][2], best["bbox"][3] + y0)
+    best["words"] = [{**w, "bbox": (w["bbox"][0], w["bbox"][1] + y0,
+                                    w["bbox"][2], w["bbox"][3] + y0)}
+                     for w in best["words"]]
+    return best

@@ -249,3 +249,47 @@ class TestOrientationDetection:
         meta = doc["pages"][0]["metadata"]
         assert (meta["width"], meta["height"]) == (612, 792)  # upright dims
         assert doc["raw_text"] == "Scan 2 sideways\nbody line here"
+
+
+class TestTargetedReocr:
+    """O7 targeted re-OCR with O4 positional write-back on the raster path:
+    selection (calibrated threshold) -> threshold-sweep recompute ->
+    reference acceptance rule -> in-place text+words update."""
+
+    def _faded_pdf(self):
+        lines = [(36, 72, "Scan 9 alpha", 3), (36, 130, "Total: $9.99", 2),
+                 (36, 160, "healthy body line", 2)]
+        page = glyphs.render_page(lines)
+        faded = page.copy()
+        ys, xs = np.where(faded < 128)
+        mask = (ys >= 130) & (ys < 145) & (xs % 2 != 0)
+        faded[ys[mask], xs[mask]] = 150  # haze: invisible at threshold 128
+        return pdf_text.build_scanned_pdf([faded], codec="flate")
+
+    def test_faded_line_recovered(self):
+        doc = document.extract_document("https://x/f.pdf", self._faded_pdf())
+        assert doc["raw_text"] == "Scan 9 alpha\nTotal: $9.99\nhealthy body line"
+
+    def test_words_rebuilt_and_fields_anchor(self):
+        doc = document.extract_document("https://x/f.pdf", self._faded_pdf())
+        tl = doc["pages"][0]["text_lines"][1]
+        assert [w["text"] for w in tl["words"]] == ["Total:", "$9.99"]
+        f = {f["name"]: f for f in doc["fields"]}
+        assert f["total"]["value"] == "$9.99"
+        assert f["total"]["bbox"] is not None  # anchors on rebuilt words
+
+    def test_enhanced_recognizer_direct(self):
+        page = glyphs.render_page([(36, 72, "only line here", 2)])
+        hazy = np.where(page < 128, np.uint8(150), page)  # fully hazed
+        base = glyphs.recognize_page(hazy)
+        assert base == []  # default threshold sees nothing
+        new = glyphs.recognize_line_enhanced(hazy, (36.0, 72.0, 500.0, 86.0))
+        assert new is not None and new["text"] == "only line here"
+        assert new["bbox"][1] == 72.0  # page coordinates restored
+
+    def test_healthy_lines_untouched(self):
+        page = glyphs.render_page([(36, 72, "Scan 9 alpha", 3),
+                                   (36, 130, "Total: $9.99", 2)])
+        pdf = pdf_text.build_scanned_pdf([page], codec="flate")
+        doc = document.extract_document("https://x/ok.pdf", pdf)
+        assert doc["raw_text"] == "Scan 9 alpha\nTotal: $9.99"
