@@ -378,7 +378,10 @@ def _extract_scanned(payload: bytes):
         enhanced: dict[int, dict] = {}
 
         def _recompute(line: dict) -> tuple[str, float]:
-            new = glyphs.recognize_line_enhanced(gray, line["bbox"])
+            # O3 dual-decoder arbitration (trocr.py:293-323): hard
+            # threshold-sweep vs soft contrast-normalized correlation,
+            # strict-> picks the secondary
+            new, _decoder = glyphs.recognize_line_dual(gray, line["bbox"])
             if new is None:
                 return line["text"], line["confidence"]
             enhanced[id(line)] = new

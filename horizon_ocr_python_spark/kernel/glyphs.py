@@ -257,3 +257,92 @@ def recognize_line_enhanced(gray: np.ndarray, bbox: tuple,
                                     w["bbox"][2], w["bbox"][3] + y0)}
                      for w in best["words"]]
     return best
+
+
+# --- O3 dual-decoder arbitration ---------------------------------------------
+# The reference's dual-model recognize (ocr/trocr.py:293-323): run the
+# primary model, run the secondary, return the secondary's result iff its
+# confidence is STRICTLY higher. Our two no-weights "models" are genuinely
+# different decoders over the same crops: the hard-threshold Hamming
+# matcher (primary — recognize_page machinery) and a soft grayscale
+# correlation matcher (secondary — no binarization, scores each cell by
+# mean absolute difference against the float templates, so haze and
+# mid-gray strokes that a fixed threshold loses still vote).
+
+def recognize_line_soft(gray: np.ndarray, bbox: tuple) -> dict | None:
+    """Soft (grayscale) recognition of one line: band geometry from a
+    generous ink mask, cells scored by 1 - mean|downsample - template|."""
+    y0 = max(0, int(bbox[1]))
+    y1 = int(bbox[3]) + 1
+    crop = np.asarray(gray[y0:y1], dtype=np.float64)
+    inkness = 1.0 - crop / 255.0               # 0 = paper, 1 = full ink
+    # local contrast normalization: faint-but-consistent ink (the case a
+    # fixed threshold can never read) is scaled up to full strength — the
+    # decoder dimension the hard matcher lacks
+    peak = inkness.max()
+    if peak > 0.02:
+        inkness = inkness / peak
+    mask = inkness > 0.25                      # generous band/column mask
+    rows = _bands(mask.any(axis=1))
+    if not rows:
+        return None
+    ry0, ry1 = rows[0]
+    s = max(1, round((ry1 - ry0 + 1) / GLYPH_H))
+    band = inkness[ry0:ry0 + GLYPH_H * s]
+    cols = _bands((band > 0.25).any(axis=0))
+    if not cols:
+        return None
+    x0, x1 = cols[0][0], cols[-1][1]
+    pitch = PITCH * s
+    h, w = GLYPH_H * s, GLYPH_W * s
+    n_cells = max(1, -(-(x1 - x0 + 1) // pitch))
+    padded = np.zeros((h, band.shape[1] + n_cells * pitch + w))
+    bh = min(band.shape[0], h)
+    padded[:bh, :band.shape[1]] = band[:bh]
+    idx = x0 + pitch * np.arange(n_cells)
+    blocks = np.stack([padded[:, cx:cx + w] for cx in idx])
+    down = blocks.reshape(n_cells, GLYPH_H, s, GLYPH_W, s).mean(axis=(2, 4))
+    flat = down.reshape(n_cells, -1)                       # (n, 35) floats
+    blank = flat.max(axis=1) < 0.25
+    temps = _TEMPLATES.astype(np.float64)                  # (95, 35)
+    dists = np.abs(flat[:, None, :] - temps[None, :, :]).mean(axis=2)
+    best = np.argmin(dists, axis=1)
+    best_d = dists[np.arange(n_cells), best]
+    chars = ["" if blank[c] else _NONSPACE[best[c]] for c in range(n_cells)]
+    text = "".join(ch if ch else " " for ch in chars).rstrip()
+    if not text:
+        return None
+    confs = [1.0 if blank[c] else 1.0 - best_d[c] for c in range(n_cells)]
+    conf = float(np.mean(confs[:len(text)]))
+    # word structs from the fixed-pitch geometry (cell index == char index)
+    import re
+
+    yy = float(y0 + ry0)
+    words = [{
+        "text": m.group(0),
+        "bbox": (float(x0 + m.start() * pitch), yy,
+                 float(x0 + m.end() * pitch - CELL_GAP * s),
+                 yy + GLYPH_H * s),
+        "confidence": round(float(np.mean(confs[m.start():m.end()])), 4),
+    } for m in re.finditer(r"[^ ]+", text)]
+    return {"text": text, "x": float(x0), "y": yy,
+            "font_size": float(GLYPH_H * s),
+            "bbox": (float(x0), yy,
+                     float(x0 + len(text) * pitch - CELL_GAP * s),
+                     yy + GLYPH_H * s),
+            "confidence": round(conf, 4), "words": words}
+
+
+def recognize_line_dual(gray: np.ndarray, bbox: tuple
+                        ) -> tuple[dict | None, str]:
+    """recognize_with_dual_models (trocr.py:293-323) for the raster path:
+    primary = hard-threshold sweep (recognize_line_enhanced), secondary =
+    soft correlation; the secondary wins iff its confidence is STRICTLY
+    higher. Returns (line_dict_or_None, decoder_tag)."""
+    primary = recognize_line_enhanced(gray, bbox)
+    secondary = recognize_line_soft(gray, bbox)
+    if secondary is not None and (
+            primary is None
+            or secondary["confidence"] > primary["confidence"]):
+        return secondary, "soft"
+    return primary, "hard"

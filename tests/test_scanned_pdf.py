@@ -293,3 +293,38 @@ class TestTargetedReocr:
         pdf = pdf_text.build_scanned_pdf([page], codec="flate")
         doc = document.extract_document("https://x/ok.pdf", pdf)
         assert doc["raw_text"] == "Scan 9 alpha\nTotal: $9.99"
+
+
+class TestDualDecoder:
+    """O3 dual-decoder arbitration (reference recognize_with_dual_models,
+    trocr.py:293-323): hard threshold-sweep primary, soft contrast-
+    normalized correlation secondary, strict-> picks the secondary."""
+
+    BBOX = (36.0, 72.0, 600.0, 86.0)
+
+    def _page(self):
+        return glyphs.render_page([(36, 72, "Total: $9.99", 2)])
+
+    def test_clean_page_primary_wins(self):
+        ln, tag = glyphs.recognize_line_dual(self._page(), self.BBOX)
+        assert tag == "hard" and ln["text"] == "Total: $9.99"
+
+    def test_faint_ink_secondary_wins(self):
+        faint = np.where(self._page() < 128, np.uint8(215), self._page())
+        assert glyphs.recognize_line_enhanced(faint, self.BBOX) is None
+        ln, tag = glyphs.recognize_line_dual(faint, self.BBOX)
+        assert tag == "soft"
+        assert ln["text"] == "Total: $9.99"
+        assert [w["text"] for w in ln["words"]] == ["Total:", "$9.99"]
+
+    def test_soft_decoder_contrast_normalizes(self):
+        for ink in (80, 150, 215):
+            img = np.where(self._page() < 128, np.uint8(ink), self._page())
+            ln = glyphs.recognize_line_soft(img, self.BBOX)
+            assert ln is not None and ln["text"] == "Total: $9.99", ink
+
+    def test_blank_crop_returns_none(self):
+        blank = np.full((100, 640), 255, dtype=np.uint8)
+        assert glyphs.recognize_line_soft(blank, self.BBOX) is None
+        ln, tag = glyphs.recognize_line_dual(blank, self.BBOX)
+        assert ln is None and tag == "hard"
