@@ -63,15 +63,14 @@ def find_field_anchor(value: Any, text_lines: list[dict],
             return tuple(tl["bbox"]), tl.get("page")
 
     # 3) substring span -> merged word boxes (cursor scan, orchestrator.py:1259-1281).
-    # The reference STOPS at the first line containing the value and returns
-    # that line's bbox unconditionally (even None) — later lines are never
-    # considered, so a boxless first match anchors nothing rather than
-    # anchoring to a different line.
+    # The reference's match condition is `norm in line_lower and tl.words`:
+    # a matching line WITHOUT words is skipped (later lines — and stage 4
+    # table cells — can still anchor). Once a matching line WITH words is
+    # found, the scan stops there: merged span boxes if any, else that
+    # line's whole bbox (returned even when it is None).
     for tl in text_lines:
         line_lower = tl["text"].lower()
-        if norm not in line_lower:
-            continue
-        if tl.get("words"):
+        if norm in line_lower and tl.get("words"):
             start_idx = line_lower.index(norm)
             end_idx = start_idx + len(norm)
             span_boxes = []
@@ -86,9 +85,9 @@ def find_field_anchor(value: Any, text_lines: list[dict],
                 cursor = w_end
             if span_boxes:
                 return merge_bboxes(span_boxes), tl.get("page")
-        if tl.get("bbox") is not None:  # fallback: whole line
-            return tuple(tl["bbox"]), tl.get("page")
-        return None, None  # first match has no bbox: stop, no false anchoring
+            if tl.get("bbox") is not None:  # fallback: whole line
+                return tuple(tl["bbox"]), tl.get("page")
+            return None, None  # worded match has no bbox: stop, no false anchoring
 
     # 4) table cell match: the FIRST text-matching cell decides — its
     # bbox-or-None is returned (orchestrator.py _find_bbox stops at the

@@ -32,6 +32,7 @@ DEFAULT_SOURCE_WEIGHTS = {
     "html_table": 0.9,
     "pdf_text": 0.95,
     "ocr_fallback": 0.8,  # scanned-PDF glyph recognition (trocr's slot)
+    "ocr_table": 0.8,     # raster-path table cells — same OCR provenance
 }
 UNKNOWN_SOURCE_WEIGHT = 0.5
 MIN_CONFIDENCE = 0.2          # fuse.py:49

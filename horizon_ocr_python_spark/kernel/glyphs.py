@@ -333,16 +333,26 @@ def recognize_line_soft(gray: np.ndarray, bbox: tuple) -> dict | None:
             "confidence": round(conf, 4), "words": words}
 
 
-def recognize_line_dual(gray: np.ndarray, bbox: tuple
-                        ) -> tuple[dict | None, str]:
+def recognize_line_dual(gray: np.ndarray, bbox: tuple,
+                        primary: str = "hard") -> tuple[dict | None, str]:
     """recognize_with_dual_models (trocr.py:293-323) for the raster path:
-    primary = hard-threshold sweep (recognize_line_enhanced), secondary =
-    soft correlation; the secondary wins iff its confidence is STRICTLY
-    higher. Returns (line_dict_or_None, decoder_tag)."""
-    primary = recognize_line_enhanced(gray, bbox)
-    secondary = recognize_line_soft(gray, bbox)
-    if secondary is not None and (
-            primary is None
-            or secondary["confidence"] > primary["confidence"]):
-        return secondary, "soft"
-    return primary, "hard"
+    run both decoders; the SECONDARY wins iff its confidence is STRICTLY
+    higher. Returns (line_dict_or_None, decoder_tag).
+
+    `primary` routes the decoder order by P8 content type, mirroring the
+    reference's recognize_batch dispatch (trocr.py:189-199: HANDWRITTEN
+    crops go to the handwritten model, everything else — printed / mixed /
+    unknown — to the printed model): "hard" = threshold-sweep first (the
+    printed-model slot), "soft" = contrast-normalized correlation first
+    (the handwritten-model slot). The strict-> arbitration rule is
+    unchanged; routing only decides who holds the tie."""
+    hard = recognize_line_enhanced(gray, bbox)
+    soft = recognize_line_soft(gray, bbox)
+    first, second = (hard, soft) if primary != "soft" else (soft, hard)
+    first_tag, second_tag = (("hard", "soft") if primary != "soft"
+                             else ("soft", "hard"))
+    if second is not None and (
+            first is None
+            or second["confidence"] > first["confidence"]):
+        return second, second_tag
+    return first, first_tag

@@ -127,6 +127,135 @@ def split_segments(line: dict) -> list[dict]:
     } for a, b in bounds]
 
 
+# --- page-column detection (multi-column scans) -------------------------------
+# The reference's D6 fallback detector finds per-column text boxes before
+# reading order runs (text_craft.py:275-351: a 30x1 horizontal dilation
+# cannot bridge a wide column gutter, so side-by-side columns arrive as
+# separate boxes). Our row-projection recognizer bands full page width, so
+# two side-by-side columns in one y-band read as one interleaved line; this
+# pass restores the reference shape by finding the dominant vertical
+# whitespace valley shared by (almost) every line and cutting each line at
+# it. Downstream, the standard (y-band, x) reading-order sort makes the
+# result column-major within bands (reference D7 row-major over per-column
+# boxes).
+
+MIN_COL_LINES = 6       # lines with ink on BOTH sides needed to call it a gutter
+COL_BLANK_FRAC = 0.85   # fraction of lines that must be blank across the valley
+MIN_COL_GAP_PX = 24.0   # narrower gaps are intra-table/kv spacing, not gutters
+
+
+def _blank_runs(mask) -> list[tuple[int, int]]:
+    """Contiguous True runs as (start, end_inclusive) — tiny local twin of
+    glyphs._bands (kept here to avoid a kernel-internal import)."""
+    runs, start = [], None
+    for i, v in enumerate(mask):
+        if v and start is None:
+            start = i
+        elif not v and start is not None:
+            runs.append((start, i - 1))
+            start = None
+    if start is not None:
+        runs.append((start, len(mask) - 1))
+    return runs
+
+
+def split_page_columns(lines: list[dict]) -> list[list[dict]]:
+    """Detect one dominant column gutter over recognized lines and split
+    every line crossing it. Returns a list of per-column line lists (1 list
+    when no gutter is found — the single-column fast path is bit-for-bit
+    unchanged). Crossing lines whose ink spans the valley (e.g. a full-width
+    title) are kept whole and assigned to the column their x starts in.
+    """
+    import numpy as np
+
+    if len(lines) < MIN_COL_LINES + 1:
+        return [lines]
+    boxed = [ln for ln in lines if ln.get("bbox")]
+    if len(boxed) < MIN_COL_LINES + 1:
+        return [lines]
+    x_min = min(ln["bbox"][0] for ln in boxed)
+    x_max = max(ln["bbox"][2] for ln in boxed)
+    w = int(x_max - x_min) + 1
+    if w <= MIN_COL_GAP_PX:
+        return [lines]
+    occ = np.zeros((len(boxed), w), dtype=bool)
+    for i, ln in enumerate(boxed):
+        for wd in ln.get("words") or []:
+            b = wd.get("bbox")
+            if b is None:
+                continue
+            a, z = int(b[0] - x_min), int(np.ceil(b[2] - x_min))
+            occ[i, max(0, a):max(0, z)] = True
+    cover = occ.sum(axis=0)
+    n = len(boxed)
+    blank = cover <= int((1.0 - COL_BLANK_FRAC) * n)
+    best = None
+    for a, b in _blank_runs(blank.tolist()):
+        if b - a + 1 < MIN_COL_GAP_PX or a == 0 or b == w - 1:
+            continue  # too narrow, or a page margin rather than a gutter
+        both = int((occ[:, :a].any(axis=1) & occ[:, b + 1:].any(axis=1)).sum())
+        if both < MIN_COL_LINES:
+            continue
+        if best is None or (b - a) > (best[1] - best[0]):
+            best = (a, b)
+    if best is None:
+        return [lines]
+    valley_x = x_min + (best[0] + best[1] + 1) / 2.0
+    left_col: list[dict] = []
+    right_col: list[dict] = []
+    for ln in lines:
+        box = ln.get("bbox")
+        if box is None or box[2] <= valley_x:
+            left_col.append(ln)
+            continue
+        if box[0] >= valley_x:
+            right_col.append(ln)
+            continue
+        piece = _cut_line_at(ln, valley_x)
+        if piece is None:  # ink crosses the valley (title): keep whole
+            (left_col if box[0] < valley_x else right_col).append(ln)
+        else:
+            left_col.append(piece[0])
+            right_col.append(piece[1])
+    return [left_col, right_col]
+
+
+def _cut_line_at(ln: dict, valley_x: float) -> tuple[dict, dict] | None:
+    """Cut one recognized line at the >=3-space gap covering `valley_x`;
+    None when no such gap exists (the line's ink crosses the valley)."""
+    text = ln["text"]
+    size = float(ln.get("font_size") or 14.0)
+    s = size / 7.0
+    pitch = 6.0 * s
+    x0 = float(ln["x"])
+    cut = None
+    for m in _GAP_RE.finditer(text):
+        if x0 + m.start() * pitch <= valley_x <= x0 + m.end() * pitch:
+            cut = m
+            break
+    if cut is None:
+        return None
+    y0, y1 = float(ln["bbox"][1]), float(ln["bbox"][3])
+
+    def _side(a: int, b: int) -> dict:
+        side_text = text[a:b]
+        sx = x0 + a * pitch
+        words = [wd for wd in ln.get("words") or []
+                 if wd.get("bbox") is not None
+                 and (wd["bbox"][0] + wd["bbox"][2]) / 2.0 >= sx - pitch / 2
+                 and (wd["bbox"][0] + wd["bbox"][2]) / 2.0
+                 <= sx + len(side_text) * pitch]
+        chars = sum(len(wd["text"]) for wd in words)
+        conf = (round(sum(wd["confidence"] * len(wd["text"])
+                          for wd in words) / chars, 4)
+                if chars else ln.get("confidence", 0.0))
+        return {**ln, "text": side_text, "x": sx,
+                "bbox": (sx, y0, sx + len(side_text) * pitch - s, y1),
+                "confidence": conf, "words": words}
+
+    return _side(0, cut.start()), _side(cut.end(), len(text))
+
+
 def detect_raster_tables(lines: list[dict], page: int = 1,
                          min_rows: int = 2) -> tuple[list[dict], set[int]]:
     """Detect borderless tables in recognized lines (one page).

@@ -324,7 +324,9 @@ ORDER BY c_custkey
 """
 
 
-SCANNED_GATE_CHARS = 300
+# Same dispatch boundary the pipeline actually runs (document.SCANNED_CHAR_GATE,
+# mirroring the reference's pdf_style_extractor.py:67-98 chars<=100 gate).
+from ..kernel.document import SCANNED_CHAR_GATE as SCANNED_GATE_CHARS  # noqa: E402
 
 
 def s1_scanned_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

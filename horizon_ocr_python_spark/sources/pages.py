@@ -102,12 +102,51 @@ def make_page(i: int, seed: int = 42, n_hosts: int = 50, scale: int = 1) -> dict
         "total": total_str,
     }
 
-    if kind == "image":
+    if kind == "image" and rng.random() < 0.5:
+        # standalone scanned image of a document: a glyph-rendered page
+        # delivered as a bare PNG/JPEG (no PDF wrapper) — the reference
+        # OCRs every image file through the same page pipeline as
+        # rasterized PDFs (io/image.py:49-79 -> orchestrator.py:455-513),
+        # so ground truth is the rendered text. ~Half carry the kv block
+        # as a borderless 2-col table; ~25% are stored rotated (O10).
+        import numpy as np
+
+        from ..kernel import glyphs, png
+
+        kind = "scanned_image"
+        cap2 = glyphs.max_chars(scale=2)
+        title = f"Scan {i} " + " ".join(rng.choice(WORDS) for _ in range(2))
+        body = [_sentence(rng, rng.randint(3, 4))[:cap2]
+                for _ in range(rng.randint(3, 10))]
+        as_table = rng.random() < 0.5
+        if as_table:
+            text_lines = list(body)
+            kv_rows = [("Invoice Number", invoice_no), ("Date", date_str),
+                       ("Total", total_str)]
+            render_lines = body + [lbl.ljust(18) + val for lbl, val in kv_rows]
+        else:
+            text_lines = body + kv_lines
+            render_lines = text_lines
+        spec = [(36, 72, title, 3)] + [(36, 120 + 24 * k, tl, 2)
+                                       for k, tl in enumerate(render_lines)]
+        img = glyphs.render_page(spec)
+        if rng.random() < 0.25:
+            img = np.ascontiguousarray(np.rot90(img, -rng.randint(1, 3)))
+        rgb = np.stack([img] * 3, axis=-1)
+        if rng.random() < 0.5:
+            from ..kernel.jpeg import encode_jpeg
+
+            payload = encode_jpeg(rgb, quality=90,
+                                  subsample_420=rng.random() < 0.5)
+        else:
+            payload = png.encode_png(rgb)
+        expected_text = "\n".join([title] + text_lines)
+    elif kind == "image":
         # a real image of the reference conftest's synthetic document shape
         # (bars + rulings, conftest.py:23-43) — half PNG, half baseline JPEG
         # (kernel.jpeg), matching the Common-Crawl payload mix. Both decode
-        # for real; with no OCR weights the extracted text is empty — the
-        # reference's own no-weights behavior, so ground truth is ""
+        # for real; its "recognized" ink scores below the OCR acceptance
+        # gate, so the extracted text is empty — a picture, not a document
         from . import _png_doc_image
 
         img = _png_doc_image.render(seed=(seed << 20) ^ i)
@@ -132,6 +171,44 @@ def make_page(i: int, seed: int = 42, n_hosts: int = 50, scale: int = 1) -> dict
         kind = "scanned_pdf"
         cap2 = glyphs.max_chars(scale=2)          # chars per scale-2 line
         title = f"Scan {i} " + " ".join(rng.choice(WORDS) for _ in range(2))
+        if rng.random() < 0.25:
+            # two-column scan: left and right columns share y-rows across a
+            # wide gutter; extraction's D6-shape column split must cut the
+            # merged band lines so reading order is column-major within
+            # (y//50) bands — ground truth is computed with the same
+            # (band, x) sort key the engine uses (reconstruction.py:121-133)
+            import numpy as np
+
+            col_chars = 20
+            x_right = 36 + (col_chars + 4) * 12   # gutter = 4 glyph cells
+            flow = [_sentence(rng, rng.randint(2, 3))[:col_chars].rstrip()
+                    for _ in range(rng.randint(14, 20))]
+            flow += [f"Inv: {invoice_no}", f"Date: {date_str}",
+                     f"Total: {total_str}"]
+            n_left = (len(flow) + 1) // 2
+            items = [(72, 36, title, 3)]
+            items += [(120 + 24 * k, 36, t, 2)
+                      for k, t in enumerate(flow[:n_left])]
+            items += [(120 + 24 * k, x_right, t, 2)
+                      for k, t in enumerate(flow[n_left:])]
+            images = [glyphs.render_page([(x, y, t, s)
+                                          for (y, x, t, s) in items])]
+            ordered = sorted(items, key=lambda it: (it[0] // 50, it[1]))
+            expected_text = "\n".join(t for (_, _, t, _) in ordered)
+            expected_fields = {"inv": invoice_no, "date": date_str,
+                               "total": total_str}
+            if rng.random() < 0.25:
+                rot_k = rng.randint(1, 3)
+                images = [np.ascontiguousarray(np.rot90(im, -rot_k))
+                          for im in images]
+            payload = pdf_text.build_scanned_pdf(
+                images, codec="dct" if rng.random() < 0.5 else "flate")
+            return {
+                "url": url, "warc_ts": warc_ts, "html": payload,
+                "text": expected_text, "lang": lang,
+                "expected_title": title,
+                "expected_fields": expected_fields, "kind": kind,
+            }
         body = [_sentence(rng, rng.randint(3, 4))[:cap2]
                 for _ in range(rng.randint(4, 24))]
         # ~half the scanned docs carry the kv block as a two-column TABLE

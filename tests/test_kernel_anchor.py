@@ -185,23 +185,45 @@ class TestReferenceParity:
 
 
 class TestFirstMatchStops:
-    """Round-3 ADVICE: strategies 3/4 stop at the FIRST matching line/cell
-    and return its bbox-or-None — they never fall through to a later match
-    (reference _find_bbox / orchestrator.py:1259-1281 semantics)."""
+    """Round-4 ADVICE fix: the reference's stage-3 condition is
+    `norm in line_lower and tl.words` (orchestrator.py:1262) — a matching
+    line WITHOUT words is SKIPPED (later lines / stage-4 cells can still
+    anchor); the first matching line WITH words stops the scan and returns
+    its bbox-or-None. Stage 4 stops at the first text-equal cell."""
 
-    def test_strategy3_first_boxless_line_stops(self):
+    def test_strategy3_wordless_match_skipped_later_line_anchors(self):
         lines = [
-            _line("pay total 42 now", [], None),           # first match, no bbox
+            _line("pay total 42 now", [], None),   # matches but no words: skipped
             _line("total 42", [_word("total", 0, 0, 5, 5),
                                _word("42", 6, 0, 9, 5)], (0, 0, 9, 5)),
         ]
         bbox, page = anchor.find_field_anchor("total 4", lines)
-        assert bbox is None and page is None
+        assert bbox == (0, 0, 9, 5) and page == 1
 
-    def test_strategy3_line_without_words_uses_line_bbox(self):
+    def test_strategy3_wordless_match_skipped_table_cell_anchors(self):
+        # HTML text lines are built with words=[] (document.py) — a value
+        # appearing in body text AND a table cell must keep its cell anchor.
+        lines = [_line("grand total 42", None, (3, 4, 5, 6), page=7)]
+        tables = [{"rows": [["total 4"]],
+                   "cells": [{"text": "total 4", "bbox": (9, 9, 11, 11),
+                              "page": 2}]}]
+        bbox, page = anchor.find_field_anchor("total 4", lines, tables)
+        assert bbox == (9, 9, 11, 11) and page == 2
+
+    def test_strategy3_no_worded_match_no_anchor(self):
         lines = [_line("grand total 42", None, (3, 4, 5, 6), page=7)]
         bbox, page = anchor.find_field_anchor("total 4", lines)
-        assert bbox == (3, 4, 5, 6) and page == 7
+        assert bbox is None and page is None
+
+    def test_strategy3_worded_boxless_match_stops(self):
+        lines = [
+            _line("pay total 42 now", [_word("pay", 0, 0, 3, 5)], None),
+            _line("total 42", [_word("total", 0, 0, 5, 5)], (0, 0, 5, 5)),
+        ]
+        # first line has words and matches; span scan hits no overlapping
+        # boxed word inside the span and the line bbox is None -> stop.
+        bbox, page = anchor.find_field_anchor("total 42 now", lines)
+        assert bbox is None and page is None
 
     def test_strategy4_first_boxless_cell_stops(self):
         tables = [{"rows": [["$5.00"]],

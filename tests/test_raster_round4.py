@@ -1,0 +1,267 @@
+"""Round-4 raster-path symmetry: standalone scanned images through the OCR
+path, D6-shape page-column splitting, D2 layout roles on raster pages, P8
+content-type routing of the O3 decoders, and per-page P9 readability.
+
+Reference analogues: io/image.py:49-79 + orchestrator.py:455-513 (every
+image file goes through the page pipeline), text_craft.py:275-351 (per-
+column text boxes), layout_doclaynet.py:210-251 (position/aspect roles),
+enhance.py:219-308 -> trocr.py:189-199 (content-type model routing),
+orchestrator.py:651-675 (readability per page)."""
+
+import numpy as np
+import pytest
+
+from horizon_ocr_python_spark.kernel import (document, glyphs, jpeg,
+                                             pdf_text, png, preprocess,
+                                             table_model)
+
+TITLE = "Scan 4 alpha beta"
+BODY = ["Invoice Number: INV-42000077", "data spark table query row",
+        "Total: $1,234.56"]
+SPEC = [(36, 72, TITLE, 3)] + [(36, 120 + 24 * k, t, 2)
+                               for k, t in enumerate(BODY)]
+TRUTH = "\n".join([TITLE] + BODY)
+
+
+def _render():
+    return glyphs.render_page(SPEC)
+
+
+class TestScannedImageRoute:
+    """VERDICT #1: a scanned PNG/JPEG of a document extracts exactly like
+    the same content delivered as a scanned PDF."""
+
+    def test_png_extracts_text(self):
+        doc = document.extract_document(
+            "https://x/scan.png", png.encode_png(_render()))
+        assert doc["status"] == "ok"
+        assert doc["raw_text"] == TRUTH
+        assert doc["title"] == TITLE
+        f = {f["name"]: f for f in doc["fields"]}
+        assert f["invoice_number"]["value"] == "INV-42000077"
+        assert f["invoice_number"]["bbox"] is not None  # anchors on words
+
+    def test_jpeg_extracts_text(self):
+        rgb = np.stack([_render()] * 3, axis=-1)
+        doc = document.extract_document(
+            "https://x/scan.jpg", jpeg.encode_jpeg(rgb, quality=90))
+        assert doc["raw_text"] == TRUTH
+
+    @pytest.mark.parametrize("stored_k", [1, 2, 3])
+    def test_rotated_image_recovered(self, stored_k):
+        rot = np.ascontiguousarray(np.rot90(_render(), -stored_k))
+        doc = document.extract_document(
+            "https://x/rot.png", png.encode_png(rot))
+        assert doc["raw_text"] == TRUTH
+        meta = doc["pages"][0]["metadata"]
+        assert (meta["width"], meta["height"]) == (612, 792)  # upright dims
+
+    def test_matches_scanned_pdf_output(self):
+        img = _render()
+        via_pdf = document.extract_document(
+            "https://x/a.pdf", pdf_text.build_scanned_pdf([img]))
+        via_img = document.extract_document(
+            "https://x/a.png", png.encode_png(img))
+        assert via_img["raw_text"] == via_pdf["raw_text"]
+        assert via_img["title"] == via_pdf["title"]
+        assert ([r["type"] for r in via_img["pages"][0]["layout_regions"]]
+                == [r["type"] for r in via_pdf["pages"][0]["layout_regions"]])
+        assert ({f["name"]: f["value"] for f in via_img["fields"]}
+                == {f["name"]: f["value"] for f in via_pdf["fields"]})
+
+    def test_picture_stays_picture(self):
+        from horizon_ocr_python_spark.sources import _png_doc_image
+
+        img = _png_doc_image.render(seed=7)
+        doc = document.extract_document(
+            "https://x/pic.png", _png_doc_image.encode(img))
+        assert doc["raw_text"] == ""
+        assert [r["type"] for r in doc["pages"][0]["layout_regions"]] \
+            == ["image"]
+
+    def test_raster_table_from_image(self):
+        spec = [(36, 72, "Scan 1 head", 3),
+                (36, 120, "plain body line", 2),
+                (36, 150, "Invoice Number" + " " * 4 + "INV-42000012", 2),
+                (36, 174, "Date" + " " * 14 + "2026-03-01", 2),
+                (36, 198, "Total" + " " * 13 + "$1,234.56", 2)]
+        doc = document.extract_document(
+            "https://x/t.png", png.encode_png(glyphs.render_page(spec)))
+        assert len(doc["tables"]) == 1
+        assert doc["raw_text"] == "Scan 1 head\nplain body line"
+        # ADVICE fix: raster-table fields carry OCR provenance, not html
+        f = {f["name"]: f for f in doc["fields"]}
+        assert f["invoice_number"]["chosen_source"] == "ocr_table"
+
+
+class TestColumnSplit:
+    """VERDICT #4: two side-by-side columns in one y-band produce per-column
+    lines, column-major within (y//50) bands."""
+
+    X_RIGHT = 36 + 24 * 12  # 20-char column + 4-cell gutter, on pitch grid
+
+    TITLE = "Wide title over the gutter"  # 26 chars * 18px: crosses x=324
+
+    def _two_col_spec(self, n=8):
+        left = [f"left line {k} here" for k in range(n)]
+        right = [f"right side {k}" for k in range(n)]
+        spec = [(36, 72, self.TITLE, 3)]
+        for k in range(n):
+            spec.append((36, 120 + 24 * k, left[k], 2))
+            spec.append((self.X_RIGHT, 120 + 24 * k, right[k], 2))
+        return spec, left, right
+
+    def test_split_page_columns_cuts_merged_bands(self):
+        spec, left, right = self._two_col_spec()
+        lines = glyphs.recognize_page(glyphs.render_page(spec))
+        # full-width banding merges each row pair into one line
+        assert any("   " in ln["text"] for ln in lines)
+        cols = table_model.split_page_columns(lines)
+        assert len(cols) == 2
+        assert [ln["text"] for ln in cols[0] if ln["text"].startswith("left")] \
+            == left
+        assert [ln["text"] for ln in cols[1]] == right
+
+    def test_crossing_title_kept_whole(self):
+        spec, _, _ = self._two_col_spec()
+        lines = glyphs.recognize_page(glyphs.render_page(spec))
+        cols = table_model.split_page_columns(lines)
+        titles = [ln for col in cols for ln in col if ln["font_size"] == 21.0]
+        assert len(titles) == 1
+        assert titles[0]["text"] == self.TITLE
+
+    def test_single_column_page_unchanged(self):
+        lines = glyphs.recognize_page(glyphs.render_page(
+            [(36, 120 + 24 * k, f"body line number {k} padded out", 2)
+             for k in range(10)]))
+        cols = table_model.split_page_columns(lines)
+        assert len(cols) == 1 and cols[0] is lines
+
+    def test_few_lines_never_split(self):
+        # a 3-row kv table page must NOT be read as two columns even though
+        # its gutter is blank in 100% of lines (MIN_COL_LINES gate)
+        lines = glyphs.recognize_page(glyphs.render_page(
+            [(36, 120, "Invoice Number" + " " * 4 + "INV-1", 2),
+             (36, 144, "Date" + " " * 14 + "2026-01-01", 2),
+             (36, 168, "Total" + " " * 13 + "$5.00", 2)]))
+        assert len(table_model.split_page_columns(lines)) == 1
+
+    def test_document_reading_order_column_major_in_bands(self):
+        spec, left, right = self._two_col_spec(n=8)
+        pdf = pdf_text.build_scanned_pdf([glyphs.render_page(spec)])
+        doc = document.extract_document("https://x/2col.pdf", pdf)
+        items = ([(72, 36, self.TITLE)]
+                 + [(120 + 24 * k, 36, left[k]) for k in range(8)]
+                 + [(120 + 24 * k, self.X_RIGHT, right[k]) for k in range(8)])
+        expected = "\n".join(
+            t for (_, _, t) in sorted(items, key=lambda it: (it[0] // 50,
+                                                             it[1])))
+        assert doc["raw_text"] == expected
+
+    def test_word_boxes_follow_the_cut(self):
+        spec, left, right = self._two_col_spec()
+        lines = glyphs.recognize_page(glyphs.render_page(spec))
+        cols = table_model.split_page_columns(lines)
+        for col in cols:
+            for ln in col:
+                for w in ln["words"]:
+                    assert ln["bbox"][0] - 1 <= w["bbox"][0]
+                    assert w["bbox"][2] <= ln["bbox"][2] + 1
+
+
+class TestRasterLayoutRoles:
+    """VERDICT #2: D2 position/aspect roles applied to raster regions."""
+
+    def test_roles_assigned(self):
+        spec = [(36, 72, "Top header strip text", 3),
+                (36, 300, "middle body line", 2),
+                (36, 740, "bottom footer line", 2)]
+        pdf = pdf_text.build_scanned_pdf([glyphs.render_page(spec)])
+        doc = document.extract_document("https://x/roles.pdf", pdf)
+        regions = doc["pages"][0]["layout_regions"]
+        types = [r["type"] for r in regions]
+        assert types[0] == "header"        # top 15% of a 792px page
+        assert types[-1] == "footer"       # bottom 15%
+        assert "text" in types
+        # classification matches the kernel rule applied to the same boxes
+        from horizon_ocr_python_spark.kernel import reading_order
+
+        for r in regions:
+            x1, y1, x2, y2 = r["bbox"]
+            assert r["type"] == reading_order.classify_region_heuristic(
+                x1, y1, x2 - x1, y2 - y1, 612, 792)
+
+
+class TestContentTypeRouting:
+    """VERDICT #3: P8 content type is consulted on the raster path and
+    routes the O3 decoder order (reference trocr.py:189-199 dispatch)."""
+
+    def test_page_metadata_carries_detected_type(self):
+        pdf = pdf_text.build_scanned_pdf([_render()])
+        doc = document.extract_document("https://x/ct.pdf", pdf)
+        ct = doc["pages"][0]["metadata"]["content_type"]
+        assert ct in ("printed", "handwritten", "mixed")
+
+    def test_native_pages_keep_file_type(self):
+        pdf = pdf_text.build_pdf_pages(
+            [[(72.0, 72.0, "A native text layer line comfortably past the "
+                           "hundred character scanned gate threshold to stay "
+                           "on the native path.", 12.0)]])
+        doc = document.extract_document("https://x/n.pdf", pdf)
+        assert doc["pages"][0]["metadata"]["content_type"] == "pdf"
+
+    def test_dual_decoder_soft_primary_holds_ties(self):
+        # both decoders read a clean line with confidence 1.0; the strict->
+        # rule keeps whichever model is PRIMARY, so routing decides ties
+        page = glyphs.render_page([(36, 72, "Total: $9.99", 2)])
+        bbox = (36.0, 72.0, 600.0, 86.0)
+        ln_h, tag_h = glyphs.recognize_line_dual(page, bbox, primary="hard")
+        ln_s, tag_s = glyphs.recognize_line_dual(page, bbox, primary="soft")
+        assert (tag_h, tag_s) == ("hard", "soft")
+        assert ln_h["text"] == ln_s["text"] == "Total: $9.99"
+
+    def test_soft_primary_still_loses_to_better_hard(self):
+        # hazy ink the soft decoder normalizes but decodes identically —
+        # build a case where hard wins strictly and soft-primary yields
+        page = glyphs.render_page([(36, 72, "Total: $9.99", 2)])
+        noisy = page.copy()
+        noisy[72:86, 0:4] = 120  # smudge outside the glyph cells
+        ln, tag = glyphs.recognize_line_dual(noisy, (36.0, 72.0, 600.0, 86.0),
+                                             primary="soft")
+        assert ln is not None and ln["text"] == "Total: $9.99"
+
+
+class TestPerPageReadability:
+    """VERDICT #8: P9 runs on every page, not just page 1."""
+
+    def test_pages_carry_own_readability(self):
+        clean = _render()
+        dark = np.minimum(clean, 40).astype(np.uint8)  # too_dark page 2
+        pdf = pdf_text.build_scanned_pdf([clean, dark])
+        doc = document.extract_document("https://x/2p.pdf", pdf)
+        m1 = doc["pages"][0]["metadata"]
+        m2 = doc["pages"][1]["metadata"]
+        assert "too_dark" not in m1["readability_issues"]
+        assert "too_dark" in m2["readability_issues"]
+        assert m2["readability"] != "good"
+
+
+class TestGeneratorRound4Kinds:
+    def test_scanned_image_and_two_col_rows_byte_identical(self):
+        from horizon_ocr_python_spark.sources import pages
+
+        n_img, n_2col = 0, 0
+        for i in range(600):
+            p = pages.make_page(i, seed=42)
+            if p["kind"] == "scanned_image":
+                n_img += 1
+            elif p["kind"] == "scanned_pdf" and "Inv: " in p["text"]:
+                n_2col += 1
+            else:
+                continue
+            doc = document.extract_document(p["url"], p["html"],
+                                            p["warc_ts"], p["lang"])
+            assert doc["status"] == "ok"
+            assert doc["raw_text"] == p["text"], p["url"]
+            assert doc["title"] == p["expected_title"]
+        assert n_img >= 5 and n_2col >= 1
