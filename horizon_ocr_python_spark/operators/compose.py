@@ -48,17 +48,22 @@ def sim_candidate_pairs(keys: DataFrame, max_bucket: int = MAX_SIM_BUCKET,
     ones — every bucket's contribution is LINEAR in its membership."""
     from pyspark.sql.window import Window
 
-    counts = keys.groupBy("band_key").agg(F.count("*").alias("n"))
-    keyed = keys.join(F.broadcast(counts), "band_key")
+    # Census restricted to CAP-EXCEEDING keys only: the small-bucket branch
+    # never needs a count, and the over-cap key set is the tiny census
+    # slice. No broadcast hint — AQE broadcasts when the set is actually
+    # small; a full-census F.broadcast at the production profile (8 bands x
+    # 2^18 buckets) would ship up to ~2M rows to every executor.
+    over_cap = (keys.groupBy("band_key").agg(F.count("*").alias("n"))
+                .filter(F.col("n") > max_bucket).select("band_key"))
 
-    small = keyed.filter(F.col("n") <= max_bucket).select("band_key", "vec_id")
+    small = keys.join(over_cap, "band_key", "left_anti")
     sa, sb = small.alias("sa"), small.alias("sb")
     small_pairs = (sa.join(sb, (F.col("sa.band_key") == F.col("sb.band_key"))
                            & (F.col("sa.vec_id") < F.col("sb.vec_id")))
                    .select(F.col("sa.vec_id").alias("ia"),
                            F.col("sb.vec_id").alias("ib")))
 
-    big = keyed.filter(F.col("n") > max_bucket).select("band_key", "vec_id")
+    big = keys.join(over_cap, "band_key", "left_semi")
     w = Window.partitionBy("band_key").orderBy("vec_id")
     ranked = big.withColumn("rn", F.row_number().over(w))
     targets = ranked.select(
@@ -255,17 +260,19 @@ def neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # materialize once: the keys feed the census + both bucket branches
     keys = band_keys_from(minhash_signatures_from(docs)).localCheckpoint()
-    counts = keys.groupBy("band_key").agg(F.count("*").alias("n"))
-    keyed = keys.join(F.broadcast(counts), "band_key")
+    # census restricted to cap-exceeders (same de-risked shape as
+    # sim_candidate_pairs: no full-census broadcast at profile scale)
+    over_cap = (keys.groupBy("band_key").agg(F.count("*").alias("n"))
+                .filter(F.col("n") > MAX_BAND_BUCKET).select("band_key"))
 
-    small = keyed.filter(F.col("n") <= MAX_BAND_BUCKET).select("band_key", "doc_id")
+    small = keys.join(over_cap, "band_key", "left_anti")
     sa, sb = small.alias("sa"), small.alias("sb")
     small_pairs = (sa.join(sb, (F.col("sa.band_key") == F.col("sb.band_key"))
                            & (F.col("sa.doc_id") < F.col("sb.doc_id")))
                    .select(F.col("sa.doc_id").alias("a"),
                            F.col("sb.doc_id").alias("b")))
 
-    big = keyed.filter(F.col("n") > MAX_BAND_BUCKET).select("band_key", "doc_id")
+    big = keys.join(over_cap, "band_key", "left_semi")
     w = Window.partitionBy("band_key").orderBy("doc_id")
     ranked = big.withColumn("rn", F.row_number().over(w))
     targets = ranked.select(

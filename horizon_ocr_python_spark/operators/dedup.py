@@ -154,15 +154,17 @@ def capped_band_keys_from(sig: DataFrame, num_hashes: int = NUM_HASHES,
                           max_bucket: int = MAX_BAND_BUCKET) -> DataFrame:
     """Band keys with the degenerate-bucket guard: buckets holding more
     than `max_bucket` docs are dropped BEFORE the self-join, bounding any
-    band's pair contribution at max_bucket^2/2. The bucket census is one
-    map-side-combined aggregate; at 10^12 docs it is small enough to
-    broadcast back."""
+    band's pair contribution at max_bucket^2/2. The census the join needs
+    is only the CAP-EXCEEDING key set (over-cap buckets are dup clusters /
+    degenerate bands — few by construction), removed with an anti-join; no
+    broadcast hint, so AQE broadcasts it when it is actually small instead
+    of shipping an under-cap set that is census-sized at profile scale."""
     # materialize the keys once: they feed both the census and the join
     # (without this the whole minhash pipeline runs twice)
     keys = band_keys_from(sig, num_hashes, bands).localCheckpoint()
     counts = keys.groupBy("band_key").agg(F.count("*").alias("n"))
-    ok = counts.filter(F.col("n") <= max_bucket).select("band_key")
-    return keys.join(F.broadcast(ok), "band_key")
+    over = counts.filter(F.col("n") > max_bucket).select("band_key")
+    return keys.join(over, "band_key", "left_anti")
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

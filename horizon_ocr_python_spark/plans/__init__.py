@@ -34,6 +34,18 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in physical_plan(df)
 
 
+def optimized_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+
+
+def has_broadcast_hint(df: DataFrame) -> bool:
+    """True when an EXPLICIT F.broadcast hint survives into the optimized
+    plan (renders as `strategy=broadcast` on the join). AQE choosing a
+    broadcast at runtime because a side is genuinely small does NOT count —
+    the anti-pattern is forcing a broadcast whose size grows with the data."""
+    return "strategy=broadcast" in optimized_plan(df)
+
+
 def has_wholestage_codegen(df: DataFrame) -> bool:
     """Under AQE the plan string hides WholeStageCodegen until finalized, and
     a write executes a *copy* of the plan, so the original never finalizes.

