@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier_volume": relational.tpch_q5_local_supplier_volume,
         "s3_exif_dims": extras.s3_exif_dims,
         "s1_scanned_gate": extras.s1_scanned_gate,
+        "s3_scanned_image": extras.s3_scanned_image,
         "v6_non_empty": validators_sql.v6_non_empty,
         "v7_validator_dispatch": validators_sql.v7_validator_dispatch,
         "v8_cross_field": validators_sql.v8_cross_field,
@@ -179,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5_local_supplier_volume": relational.TPCH_Q5_SQL,
         "s3_exif_dims": extras.S3_EXIF_DIMS_SQL,
         "s1_scanned_gate": extras.S1_SCANNED_GATE_SQL,
+        "s3_scanned_image": extras.S3_SCANNED_IMAGE_SQL,
         "v6_non_empty": validators_sql.V6_NON_EMPTY_SQL,
         "v7_validator_dispatch": validators_sql.V7_VALIDATOR_DISPATCH_SQL,
         "v8_cross_field": validators_sql.V8_CROSS_FIELD_SQL,

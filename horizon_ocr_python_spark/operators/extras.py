@@ -358,3 +358,50 @@ FROM documents
 GROUP BY 1
 ORDER BY route
 """
+
+
+from ..kernel.document import IMAGE_TEXT_GATE  # noqa: E402
+
+
+def s3_scanned_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standalone-image OCR acceptance gate as a dataset operator
+    (kernel.document.IMAGE_TEXT_GATE; reference behavior: every image file
+    goes through the page OCR loop, io/image.py:49-79 ->
+    orchestrator.py:455-513, and only confident recognition yields text).
+    Each document carries a deterministic md5-derived recognition
+    confidence on the recognizer's scale ([0.5, 1.0); garbage ~0.7, clean
+    >= 0.95); rows at/above the gate route to 'ocr_text' (the scan is
+    believed to be a document), the rest stay 'picture'. Per-route rollup —
+    the dispatch census the batch driver uses to size the OCR stage."""
+    docs = table(spark, sf_dir, "documents")
+    conf = F.round(
+        F.lit(0.5)
+        + (F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+           % 4096) / F.lit(8192.0), 4)
+    route = (F.when(conf >= IMAGE_TEXT_GATE, "ocr_text")
+             .otherwise("picture"))
+    return (docs.select(route.alias("route"), conf.alias("conf"))
+            .groupBy("route")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.min("conf"), 4).alias("min_conf"),
+                 F.round(F.max("conf"), 4).alias("max_conf"),
+                 F.round(F.avg("conf"), 4).alias("avg_conf"))
+            .orderBy("route"))
+
+
+S3_SCANNED_IMAGE_SQL = f"""
+WITH scored AS (
+  SELECT round(0.5 + (('0x' || substr(md5(text), 1, 8))::BIGINT % 4096)
+               / 8192.0, 4) AS conf
+  FROM documents
+)
+SELECT CASE WHEN conf >= {IMAGE_TEXT_GATE} THEN 'ocr_text'
+            ELSE 'picture' END AS route,
+       count(*) AS n_docs,
+       round(min(conf), 4) AS min_conf,
+       round(max(conf), 4) AS max_conf,
+       round(avg(conf), 4) AS avg_conf
+FROM scored
+GROUP BY 1
+ORDER BY route
+"""
