@@ -352,7 +352,7 @@ def _ocr_page(img, p: int) -> dict:
     # deskew on a sideways page destroys the glyph grid). Upright pages
     # short-circuit after one recognition pass.
     gray0 = preprocess.to_gray(img) if img.ndim == 3 else img
-    _, rot_k, _osd = glyphs.recognize_with_osd(gray0)
+    osd_lines, rot_k, osd_score = glyphs.recognize_with_osd(gray0)
     if rot_k:
         img = np.ascontiguousarray(np.rot90(img, rot_k))
     dims = (int(img.shape[1]), int(img.shape[0]))
@@ -361,44 +361,57 @@ def _ocr_page(img, p: int) -> dict:
     # (enhance.py:219-308); content type routes the O3 decoder order below.
     readability, readability_issues = preprocess.assess_readability(img)
     content_type, _ct_conf = preprocess.detect_content_type(img)
-    pre = preprocess.preprocess_for_ocr(img)
-    gray = preprocess.to_gray(pre) if pre.ndim == 3 else pre
-    lines = glyphs.recognize_page(gray)
-    # O7 targeted re-OCR with O4 positional write-back: low-confidence
-    # lines (faded/hazy strokes the default ink threshold misses) get a
-    # second-effort recognition; the reference's selection/acceptance rules
-    # (targeted_reocr.py:150-178, 440-443) apply verbatim via kernel.reocr,
-    # and accepted results replace the line's text/words/geometry in place
-    # — the line-update join of orchestrator's OCR batch application.
-    enhanced: dict[int, dict] = {}
-    # P8 -> O2 routing (trocr.py:189-199): handwritten crops go to the
-    # handwritten-model slot (soft decoder first); printed/mixed/unknown
-    # to the printed slot (hard decoder first).
-    decoder_primary = "soft" if content_type == "handwritten" else "hard"
+    if osd_score == 1.0 and osd_lines:
+        # Confidence-gated recomputation (the reference's own pattern —
+        # low-conf work is recomputed, high-conf work is not,
+        # orchestrator.py:1140-1176 / targeted_reocr.py selection): a
+        # score of exactly 1.0 means EVERY character matched its template
+        # with zero Hamming distance on the raw pixels, so the P-stage
+        # preprocess + re-recognition + re-OCR sweep cannot improve the
+        # text — skip them. Lossless pages (FlateDecode scans, PNG images,
+        # ~half the scanned corpus) take this path; any JPEG blur drops
+        # the score below 1.0 and runs the full enhancement chain.
+        lines = osd_lines
+    else:
+        pre = preprocess.preprocess_for_ocr(img)
+        gray = preprocess.to_gray(pre) if pre.ndim == 3 else pre
+        lines = glyphs.recognize_page(gray)
+        # O7 targeted re-OCR with O4 positional write-back:
+        # low-confidence lines (faded/hazy strokes the default ink
+        # threshold misses) get a second-effort recognition; the
+        # reference's selection/acceptance rules (targeted_reocr.py:
+        # 150-178, 440-443) apply verbatim via kernel.reocr, and accepted
+        # results replace the line's text/words/geometry in place — the
+        # line-update join of orchestrator's OCR batch application.
+        enhanced: dict[int, dict] = {}
+        # P8 -> O2 routing (trocr.py:189-199): handwritten crops go to
+        # the handwritten-model slot (soft decoder first); printed/mixed/
+        # unknown to the printed slot (hard decoder first).
+        decoder_primary = "soft" if content_type == "handwritten" else "hard"
 
-    def _recompute(line: dict) -> tuple[str, float]:
-        # O3 dual-decoder arbitration (trocr.py:293-323): hard
-        # threshold-sweep vs soft contrast-normalized correlation,
-        # strict-> picks the secondary
-        new, _decoder = glyphs.recognize_line_dual(gray, line["bbox"],
-                                                   primary=decoder_primary)
-        if new is None:
-            return line["text"], line["confidence"]
-        enhanced[id(line)] = new
-        return new["text"], new["confidence"]
+        def _recompute(line: dict) -> tuple[str, float]:
+            # O3 dual-decoder arbitration (trocr.py:293-323): hard
+            # threshold-sweep vs soft contrast-normalized correlation,
+            # strict-> picks the secondary
+            new, _decoder = glyphs.recognize_line_dual(
+                gray, line["bbox"], primary=decoder_primary)
+            if new is None:
+                return line["text"], line["confidence"]
+            enhanced[id(line)] = new
+            return new["text"], new["confidence"]
 
-    # threshold calibrated to the glyph recognizer's confidence scale
-    # (even random ink matches ~0.7 against the best of 95 templates;
-    # clean lines sit >= 0.95) — the reference exposes exactly this
-    # knob (reocr confidence_threshold, config.py:221).
-    reocr_mod.process_lines(lines, _recompute, threshold=0.90,
-                            source="ocr_enhanced")
-    for ln in lines:
-        if ln.get("source") == "ocr_enhanced" and id(ln) in enhanced:
-            new = enhanced[id(ln)]
-            for k in ("words", "bbox", "x", "y", "font_size"):
-                if k in new:
-                    ln[k] = new[k]
+        # threshold calibrated to the glyph recognizer's confidence scale
+        # (even random ink matches ~0.7 against the best of 95 templates;
+        # clean lines sit >= 0.95) — the reference exposes exactly this
+        # knob (reocr confidence_threshold, config.py:221).
+        reocr_mod.process_lines(lines, _recompute, threshold=0.90,
+                                source="ocr_enhanced")
+        for ln in lines:
+            if ln.get("source") == "ocr_enhanced" and id(ln) in enhanced:
+                new = enhanced[id(ln)]
+                for k in ("words", "bbox", "x", "y", "font_size"):
+                    if k in new:
+                        ln[k] = new[k]
     # D6-shape page-column detection: a dominant vertical whitespace
     # valley splits interleaved two-column band lines into per-column
     # lines (kernel.table_model.split_page_columns); tables are then

@@ -246,6 +246,39 @@ class TestPerPageReadability:
         assert m2["readability"] != "good"
 
 
+class TestConfidenceGatedFastPath:
+    """Confidence-gated recomputation (the reference's own skip-what's-
+    already-confident pattern, orchestrator.py:1140-1176): a raw page whose
+    OSD recognition scores exactly 1.0 (every char a zero-distance template
+    match) skips preprocess + re-recognition + re-OCR; any degradation
+    (JPEG blur, haze) drops the score below 1.0 and runs the full chain."""
+
+    def test_lossless_page_skips_preprocess(self, monkeypatch):
+        calls = []
+        orig = preprocess.preprocess_for_ocr
+        monkeypatch.setattr(preprocess, "preprocess_for_ocr",
+                            lambda *a, **k: calls.append(1) or orig(*a, **k))
+        pdf = pdf_text.build_scanned_pdf([_render()], codec="flate")
+        doc = document.extract_document("https://x/clean.pdf", pdf)
+        assert doc["raw_text"] == TRUTH
+        assert calls == []  # shortcut taken
+
+    def test_degraded_page_runs_full_chain(self, monkeypatch):
+        calls = []
+        orig = preprocess.preprocess_for_ocr
+        monkeypatch.setattr(preprocess, "preprocess_for_ocr",
+                            lambda *a, **k: calls.append(1) or orig(*a, **k))
+        page = _render().copy()
+        # knock out one template bit (a 2x2 block at scale 2) of a glyph in
+        # the first body line: the char still decodes (nearest template)
+        # but at Hamming distance 1 -> line conf < 1.0 -> no shortcut
+        page[120:122, 96:98] = 255
+        pdf = pdf_text.build_scanned_pdf([page], codec="flate")
+        doc = document.extract_document("https://x/deg.pdf", pdf)
+        assert doc["raw_text"] == TRUTH
+        assert calls  # score < 1.0 -> the enhancement chain ran
+
+
 class TestGeneratorRound4Kinds:
     def test_scanned_image_and_two_col_rows_byte_identical(self):
         from horizon_ocr_python_spark.sources import pages
