@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_ann": similarity.lsh_bucket_ann,
         "lsh_ann_topk": similarity.lsh_ann_topk,
         "ivf_ann_topk": similarity.ivf_ann_topk,
+        "ivf_kmeans_train": similarity.ivf_kmeans_train,
         # window/sessionization (D13/O7/R1 dataset forms)
         "d13_gap_sessionize": sessionize.gap_sessionize,
         "o7_worst_k": sessionize.worst_k,
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucket_ann": similarity.LSH_BUCKET_ANN_SQL,
         "lsh_ann_topk": similarity.LSH_ANN_TOPK_SQL,
         "ivf_ann_topk": similarity.IVF_ANN_TOPK_SQL,
+        "ivf_kmeans_train": similarity.IVF_KMEANS_TRAIN_SQL,
         "d13_gap_sessionize": sessionize.GAP_SESSIONIZE_SQL,
         "o7_worst_k": sessionize.WORST_K_SQL,
         "r1_yband_dedup": sessionize.YBAND_DEDUP_SQL,

@@ -79,6 +79,7 @@ def main() -> None:
         ("neardup_verdict", compose.neardup_verdict),
         ("embedding_cosine_pairs", compose.embedding_cosine_pairs),
         ("lsh_ann_topk", similarity.lsh_ann_topk),
+        ("ivf_kmeans_train", similarity.ivf_kmeans_train),
         ("s1_page_fanout", pagemodel.s1_page_fanout),
         ("r6_style_merge", pagemodel.r6_style_merge),
         ("k4_bio_grouping", __import__("horizon_ocr_python_spark.operators.extras",

@@ -446,3 +446,128 @@ SELECT q_id, rank, vec_id, sim FROM (
 ) WHERE rank <= {TOP_K}
 ORDER BY q_id, rank
 """
+
+
+# --- IVF centroid training: distributed Lloyd's k-means -----------------------
+# Closes the ivf_ann_topk docstring's "production would train centroids
+# offline" gap with the training job itself, expressed as DataFrame ops:
+# assign = argmin over a K-row broadcast (map-side-combinable min(struct)
+# aggregation, no window sort), update = element-wise mean via posexplode +
+# groupBy(cid, pos). Vectors are quantized to scaled integers (3 decimal
+# places) so every distance and every centroid update is EXACT integer /
+# exactly-representable arithmetic — the iteration is bit-deterministic and
+# engine-independent (float sums would depend on partial-aggregation order,
+# and a last-bit difference in iteration 1 can flip an argmin in iteration
+# 2). Fixed-point quantization is also the honest production shape (ANN
+# systems quantize for distance kernels anyway). Empty clusters die, as in
+# classic Lloyd.
+
+N_KMEANS = 8
+KMEANS_ITERS = 2
+KMEANS_SCALE = 1000  # fixed-point: 3 decimal places
+
+
+def _qvec(col):
+    """embedding -> scaled-integer vector (float32 -> double is exact, and
+    double*1000 of a 24-bit mantissa stays exactly representable, so the
+    round is identical in Spark and DuckDB)."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * KMEANS_SCALE, 0)
+        .cast("long"))
+
+
+def _int_sqdist(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid, d, v): each vector's nearest centroid. K is a
+    constant-size broadcast, so the nested-loop join is the correct plan
+    (every IVF implementation scans all K centroids per vector); the argmin
+    is a min(struct(d, cid)) aggregation — partial-aggregated map-side,
+    deterministic (cid is unique), no window sort over N*K rows."""
+    d = _int_sqdist(F.col("v"), F.col("c"))
+    scored = (emb.crossJoin(F.broadcast(cents))
+              .select("vec_id", "v", "cid", d.alias("d")))
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d", "cid")).alias("b"),
+        F.min_by("v", F.struct("d", "cid")).alias("v"))
+    return best.select("vec_id", F.col("b.cid").alias("cid"),
+                       F.col("b.d").alias("d"), "v")
+
+
+def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train IVF centroids with KMEANS_ITERS Lloyd iterations from the
+    deterministic seed (the first N_KMEANS vectors), then report the final
+    assignment per cluster: member count, inertia (sum of squared
+    quantized distances), and an md5 fingerprint of the trained centroid.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec(F.col("embedding")).alias("v"))
+    cents = (emb.filter(F.col("vec_id") < N_KMEANS)
+             .select(F.col("vec_id").alias("cid"), F.col("v").alias("c")))
+    for _ in range(KMEANS_ITERS):
+        a = _kmeans_assign(emb, cents)
+        pe = a.select("cid", F.posexplode("v").alias("pos", "val"))
+        means = pe.groupBy("cid", "pos").agg(
+            F.round(F.sum("val").cast("double") / F.count("*"), 0)
+            .cast("long").alias("m"))
+        cents = means.groupBy("cid").agg(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"]).alias("c"))
+    final = _kmeans_assign(emb, cents)
+    fp = F.md5(F.concat_ws(
+        ",", F.transform(F.col("c"), lambda x: x.cast("string"))))
+    return (final.groupBy("cid").agg(F.count("*").alias("n_members"),
+                                     F.sum("d").alias("inertia"))
+            .join(cents, "cid")
+            .select("cid", "n_members", "inertia", fp.alias("centroid_fp"))
+            .orderBy("cid"))
+
+
+def _kmeans_assign_sql(cents_cte: str) -> str:
+    return f"""(
+  SELECT vec_id, cid, d, v FROM (
+    SELECT vec_id, cid, d, v,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM (SELECT e.vec_id, c.cid, e.v,
+                 CAST(list_sum(list_transform(range(1, {DIM} + 1),
+                      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))
+                      AS BIGINT) AS d
+          FROM emb e, {cents_cte} c))
+  WHERE rn = 1
+)"""
+
+
+def _kmeans_update_sql(assign_cte: str) -> str:
+    return f"""(
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, i AS pos,
+           CAST(round(CAST(sum(v[i]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+    FROM {assign_cte}, range(1, {DIM} + 1) AS r(i)
+    GROUP BY cid, i)
+  GROUP BY cid
+)"""
+
+
+IVF_KMEANS_TRAIN_SQL = f"""
+WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {KMEANS_SCALE}) AS BIGINT)) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < {N_KMEANS}
+), a0 AS {_kmeans_assign_sql('c0')}, c1 AS {_kmeans_update_sql('a0')},
+a1 AS {_kmeans_assign_sql('c1')}, c2 AS {_kmeans_update_sql('a1')},
+a2 AS {_kmeans_assign_sql('c2')}
+SELECT a2.cid,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(a2.d) AS BIGINT) AS inertia,
+       md5(array_to_string(list_transform(c2.c, x -> CAST(x AS VARCHAR)),
+                           ',')) AS centroid_fp
+FROM a2 JOIN c2 ON a2.cid = c2.cid
+GROUP BY a2.cid, c2.c
+ORDER BY a2.cid
+"""

@@ -168,6 +168,59 @@ class TestCensusBroadcast:
         assert got == expected
 
 
+class TestKmeansTraining:
+    """Round-4 ivf_kmeans_train: distributed Lloyd's iterations recover
+    planted clusters, and the quantized-integer iteration actually reduces
+    inertia vs the untrained seed assignment."""
+
+    @pytest.fixture(scope="class")
+    def planted_dir(self, spark, tmp_path_factory):
+        rng = np.random.default_rng(31)
+        centers = 3.0 * rng.standard_normal((similarity.N_KMEANS,
+                                             similarity.DIM))
+        n = 320  # vec_id i belongs to planted cluster i % 8, so the seed
+        # centroids (vec_id < 8) start one-per-true-cluster
+        vecs = np.stack([centers[i % similarity.N_KMEANS]
+                         + 0.1 * rng.standard_normal(similarity.DIM)
+                         for i in range(n)])
+        d = tmp_path_factory.mktemp("planted")
+        spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id: long, embedding: array<float>",
+        ).coalesce(2).write.parquet(str(d / "embeddings.parquet"))
+        return str(d)
+
+    def test_recovers_planted_clusters(self, spark, planted_dir):
+        rows = similarity.ivf_kmeans_train(spark, planted_dir).collect()
+        assert len(rows) == similarity.N_KMEANS
+        sizes = [r.n_members for r in rows]
+        assert sum(sizes) == 320
+        assert all(s == 40 for s in sizes), sizes  # perfect recovery
+
+    def test_training_reduces_inertia(self, spark, planted_dir):
+        from pyspark.sql import functions as FF
+
+        emb = similarity.table(spark, planted_dir, "embeddings").select(
+            "vec_id", similarity._qvec(FF.col("embedding")).alias("v"))
+        seed = (emb.filter(FF.col("vec_id") < similarity.N_KMEANS)
+                .select(FF.col("vec_id").alias("cid"),
+                        FF.col("v").alias("c")))
+        untrained = similarity._kmeans_assign(emb, seed) \
+            .agg(FF.sum("d")).collect()[0][0]
+        trained = sum(r.inertia for r in
+                      similarity.ivf_kmeans_train(spark,
+                                                  planted_dir).collect())
+        assert trained < untrained
+
+    def test_assignment_is_min_struct_not_window(self, spark, planted_dir):
+        """The argmin must be a partial-aggregable min(struct), not a
+        window sort over N*K rows (the plan you'd want at 10^9 vectors)."""
+        from horizon_ocr_python_spark import plans
+
+        df = similarity.ivf_kmeans_train(spark, planted_dir)
+        assert "Window" not in plans.optimized_plan(df)
+
+
 class TestClusteredRecall:
     """VERDICT r2 #7: recall demonstrated on a REALISTIC clustered corpus
     (the workload ANN exists for) through the actual operator entry points
