@@ -56,6 +56,39 @@ class TestStreaming:
         assert table.count() == 40
         assert table.filter(F.col("status") != "ok").count() == 0
 
+    def test_stream_extracts_raster_rows_byte_identical(self, spark,
+                                                        tmp_path):
+        """Scanned PDFs and standalone scanned images flow through the
+        SAME streaming extraction stage with byte-identical text — the
+        round-4 raster symmetry holds under readStream too."""
+        from horizon_ocr_python_spark.engine import checkpoint as ckpt
+        from horizon_ocr_python_spark.engine.schema import PAGES_SCHEMA
+        from horizon_ocr_python_spark.sources import pages as gen
+        from horizon_ocr_python_spark.streaming.stream import (
+            run_stream_to_snapshots)
+
+        picked, i, want = [], 0, {"scanned_pdf": 2, "scanned_image": 2,
+                                  "html": 1, "image": 1}
+        while any(v > 0 for v in want.values()) and i < 2000:
+            p = gen.make_page(i, seed=42)
+            if want.get(p["kind"], 0) > 0:
+                want[p["kind"]] -= 1
+                picked.append(p)
+            i += 1
+        assert not any(want.values()), want
+        d = str(tmp_path / "raster_in")
+        spark.createDataFrame(
+            [(p["url"], p["warc_ts"], p["html"], p["text"], p["lang"])
+             for p in picked], PAGES_SCHEMA).coalesce(1).write.parquet(d)
+        out, cp = str(tmp_path / "r_out"), str(tmp_path / "r_cp")
+        q = run_stream_to_snapshots(spark, d, out, cp)
+        q.awaitTermination(180)
+        got = {r["url"]: r["raw_text"]
+               for r in ckpt.read_table(spark, out)
+               .select("url", "raw_text").collect()}
+        for p in picked:
+            assert got[p["url"]] == p["text"], p["url"]
+
     def test_windowed_lang_counts_streaming_plan(self, spark, pages_dir):
         """The watermarked windowed agg must be a valid *streaming* plan:
         run it with availableNow into a memory sink."""
