@@ -433,13 +433,34 @@ def _ocr_page(img, p: int, junk_floor: Optional[float] = None) -> dict:
     columns = table_model.split_page_columns(lines)
     page_tables: list[dict] = []
     kept: list[dict] = []
+    block_regions: list[dict] = []
     for col_lines in columns:
         # borderless raster tables (whitespace-alignment detection, the
         # D13 shape on pixels); consumed lines leave the text flow — table
         # text is structured output, not raw_text (same rule as HTML)
         tbls, consumed = table_model.detect_raster_tables(col_lines, page=p)
         page_tables.extend(tbls)
-        kept.extend(ln for k, ln in enumerate(col_lines) if k not in consumed)
+        col_kept = [ln for k, ln in enumerate(col_lines)
+                    if k not in consumed]
+        kept.extend(col_kept)
+        # D2 regions at the reference's granularity: the heuristic
+        # detector's dilation+contours produce one region per PARAGRAPH
+        # block, not per line (layout_doclaynet.py:146-209); each block is
+        # classified by the position/aspect rules (210-251) — including
+        # their wide-tall-block -> "table" quirk, reproduced faithfully.
+        for block in reading_order.group_lines_into_blocks(col_kept):
+            env = (min(ln["bbox"][0] for ln in block),
+                   min(ln["bbox"][1] for ln in block),
+                   max(ln["bbox"][2] for ln in block),
+                   max(ln["bbox"][3] for ln in block))
+            chars = sum(len(ln["text"]) for ln in block) or 1
+            conf = round(sum(ln["confidence"] * len(ln["text"])
+                             for ln in block) / chars, 4)
+            block_regions.append({
+                "type": reading_order.classify_region_heuristic(
+                    env[0], env[1], env[2] - env[0], env[3] - env[1],
+                    dims[0], dims[1]),
+                "bbox": env, "page": p, "confidence": conf})
     kept.sort(key=lambda ln: (int(ln["y"] // 50), ln["x"]))
     text_lines = [{
         "text": ln["text"],
@@ -449,18 +470,9 @@ def _ocr_page(img, p: int, junk_floor: Optional[float] = None) -> dict:
         "words": ln["words"],
         "style": None,
     } for ln in kept]
-    # D2 layout-role classification on raster regions (the reference's
-    # position/aspect heuristic, layout_doclaynet.py:210-251) — scanned
-    # pages emit typed header/footer/title/page_number/text regions, not
-    # just "text" (round-3 VERDICT #2).
-    regions = [{"type": reading_order.classify_region_heuristic(
-                    tl["bbox"][0], tl["bbox"][1],
-                    tl["bbox"][2] - tl["bbox"][0],
-                    tl["bbox"][3] - tl["bbox"][1],
-                    dims[0], dims[1]),
-                "bbox": tl["bbox"], "page": p,
-                "confidence": ln["confidence"]}
-               for tl, ln in zip(text_lines, kept)] + \
+    # D3 same-type IoU merge with the reference's exact rule, then table
+    # regions appended (one per detected grid)
+    regions = reading_order.merge_regions_iou(block_regions) + \
         [{"type": "table", "bbox": t["cells"][0]["bbox"], "page": p,
           "confidence": 1.0} for t in page_tables]
     score = glyphs._osd_score(kept)

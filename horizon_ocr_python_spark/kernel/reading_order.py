@@ -89,6 +89,70 @@ def classify_region_heuristic(x: float, y: float, w: float, h: float,
     return "text"
 
 
+BLOCK_GAP_PX = 20  # layout_doclaynet.py:165: 30x10 dilation bridges
+# vertical gaps up to 2*10px, so adjacent text lines fuse into one
+# contour block; larger gaps (e.g. title -> body) start a new block
+
+
+def group_lines_into_blocks(lines: list[dict],
+                            gap_px: float = BLOCK_GAP_PX) -> list[list[dict]]:
+    """Group y-ordered line dicts (with bbox) into contour-style blocks —
+    the granularity the reference's heuristic layout detector emits
+    (layout_doclaynet.py:146-209: dilation + contours produce one region
+    per PARAGRAPH, not per line). A new block starts when the vertical gap
+    to the previous line exceeds `gap_px`."""
+    blocks: list[list[dict]] = []
+    for ln in sorted(lines, key=lambda l: (l["bbox"][1], l["bbox"][0])):
+        if blocks and ln["bbox"][1] - max(
+                m["bbox"][3] for m in blocks[-1]) <= gap_px:
+            blocks[-1].append(ln)
+        else:
+            blocks.append([ln])
+    return blocks
+
+
+def _iou(a: tuple, b: tuple) -> float:
+    """IoU of (x1,y1,x2,y2) boxes (layout_doclaynet.py:311-325)."""
+    x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+    x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+    if x2 <= x1 or y2 <= y1:
+        return 0.0
+    inter = (x2 - x1) * (y2 - y1)
+    union = ((a[2] - a[0]) * (a[3] - a[1])
+             + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+    return inter / union if union > 0 else 0.0
+
+
+def merge_regions_iou(regions: list[dict],
+                      iou_threshold: float = 0.5) -> list[dict]:
+    """D3 region merge with the reference's exact semantics
+    (layout_doclaynet.py:253-309): largest-area first, same-type regions
+    with IoU > threshold merge by bbox envelope, the absorbing region's
+    confidence is kept. Output is re-sorted into reading order (y, x) —
+    a stable-consumption deviation from the reference's area ordering."""
+    if len(regions) <= 1:
+        return list(regions)
+    order = sorted(regions, key=lambda r: -((r["bbox"][2] - r["bbox"][0])
+                                            * (r["bbox"][3] - r["bbox"][1])))
+    used: set[int] = set()
+    merged: list[dict] = []
+    for i, ri in enumerate(order):
+        if i in used:
+            continue
+        cur = tuple(ri["bbox"])
+        for j in range(i + 1, len(order)):
+            if j in used or order[j]["type"] != ri["type"]:
+                continue
+            if _iou(cur, order[j]["bbox"]) > iou_threshold:
+                b = order[j]["bbox"]
+                cur = (min(cur[0], b[0]), min(cur[1], b[1]),
+                       max(cur[2], b[2]), max(cur[3], b[3]))
+                used.add(j)
+        merged.append({**ri, "bbox": cur})
+    merged.sort(key=lambda r: (r["bbox"][1], r["bbox"][0]))
+    return merged
+
+
 def group_lines_into_rows(boxes: list[dict], overlap_threshold: float = 0.5) -> list[list[dict]]:
     """Group line boxes into visual rows by vertical overlap, then sort rows
     by y and members by x (detect/text_craft.py:353-410).

@@ -192,6 +192,69 @@ class TestRasterLayoutRoles:
                 x1, y1, x2 - x1, y2 - y1, 612, 792)
 
 
+class TestBlockRegions:
+    """D2 at the reference's granularity (one region per paragraph block,
+    layout_doclaynet.py:146-209) + the exact D3 IoU merge (253-309)."""
+
+    def _ln(self, y, h=14, x=36, w=300, text="abcdef", conf=1.0):
+        return {"text": text, "bbox": (x, y, x + w, y + h),
+                "confidence": conf}
+
+    def test_adjacent_lines_fuse_into_one_block(self):
+        from horizon_ocr_python_spark.kernel import reading_order as ro
+
+        lines = [self._ln(120), self._ln(144), self._ln(168),
+                 self._ln(300)]  # 10px gaps, then a 118px break
+        blocks = ro.group_lines_into_blocks(lines)
+        assert [len(b) for b in blocks] == [3, 1]
+
+    def test_title_separated_by_gap(self):
+        from horizon_ocr_python_spark.kernel import reading_order as ro
+
+        lines = [self._ln(72, h=21), self._ln(120), self._ln(144)]
+        blocks = ro.group_lines_into_blocks(lines)  # 93->120 gap 27 > 20
+        assert [len(b) for b in blocks] == [1, 2]
+
+    def test_scanned_page_emits_block_regions(self):
+        page = glyphs.render_page(
+            [(36, 72, "Scan head", 3)]
+            + [(36, 120 + 24 * k, f"body line {k} here", 2)
+               for k in range(6)])
+        doc = document.extract_document(
+            "https://x/blk.pdf", pdf_text.build_scanned_pdf([page]))
+        regions = doc["pages"][0]["layout_regions"]
+        assert len(regions) == 2  # title block + one 6-line body block
+        assert regions[1]["bbox"][3] - regions[1]["bbox"][1] > 100
+
+    def test_merge_regions_iou_reference_rule(self):
+        from horizon_ocr_python_spark.kernel import reading_order as ro
+
+        regions = [
+            {"type": "text", "bbox": (0, 0, 100, 100), "confidence": 0.9},
+            {"type": "text", "bbox": (10, 10, 100, 100), "confidence": 0.5},
+            {"type": "table", "bbox": (5, 5, 95, 95), "confidence": 0.7},
+            {"type": "text", "bbox": (300, 300, 310, 310), "confidence": 1.0},
+        ]
+        merged = ro.merge_regions_iou(regions)
+        # the two overlapping text regions merge (IoU 0.81 > 0.5); the
+        # table overlaps but is a different type; the far text survives
+        assert len(merged) == 3
+        texts = [r for r in merged if r["type"] == "text"]
+        assert {tuple(r["bbox"]) for r in texts} == \
+            {(0, 0, 100, 100), (300, 300, 310, 310)}
+        big = next(r for r in texts if r["bbox"][2] == 100)
+        assert big["confidence"] == 0.9  # absorbing (largest) region's conf
+
+    def test_merge_below_threshold_keeps_both(self):
+        from horizon_ocr_python_spark.kernel import reading_order as ro
+
+        regions = [
+            {"type": "text", "bbox": (0, 0, 100, 100), "confidence": 0.9},
+            {"type": "text", "bbox": (60, 0, 160, 100), "confidence": 0.8},
+        ]  # IoU = 40/160 = 0.25 < 0.5
+        assert len(ro.merge_regions_iou(regions)) == 2
+
+
 class TestContentTypeRouting:
     """VERDICT #3: P8 content type is consulted on the raster path and
     routes the O3 decoder order (reference trocr.py:189-199 dispatch)."""
