@@ -143,7 +143,7 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
 
 
 @lru_cache(maxsize=64)
-def _decode_lut(bits: tuple, vals: tuple) -> np.ndarray:
+def _decode_lut(bits: tuple, vals: tuple) -> list:
     """16-bit-prefix lookup table: lut[prefix] = symbol<<8 | code_length
     (0 = invalid). One O(64k) build per distinct huffman table per process
     (cached — the Annex K tables repeat across every standard file), then
@@ -152,7 +152,9 @@ def _decode_lut(bits: tuple, vals: tuple) -> np.ndarray:
     for sym, (code, ln) in _build_codes(list(bits), list(vals)).items():
         base = code << (16 - ln)
         lut[base:base + (1 << (16 - ln))] = (sym << 8) | ln
-    return lut
+    # plain-list entries: the entropy loop does one lookup per symbol and a
+    # Python list read is ~3x a numpy scalar read + int() conversion
+    return lut.tolist()
 
 
 class _BitWriter:
@@ -200,6 +202,15 @@ class _BitReader:
     def _fill_to(self, need: int):
         d = self.data
         while self.nbits < need and self.stopped is None:
+            # bulk path: 4 plain bytes at once (no 0xFF anywhere means no
+            # stuffing, no marker, no EOF in the chunk)
+            chunk = d[self.pos:self.pos + 4]
+            if len(chunk) == 4 and 0xFF not in chunk:
+                self.pos += 4
+                self.window = (self.window << 32) | int.from_bytes(chunk,
+                                                                   "big")
+                self.nbits += 32
+                continue
             if self.pos >= len(d):
                 self.stopped = EOFError("truncated entropy data")
                 break
@@ -230,7 +241,7 @@ class _BitReader:
         return v
 
 
-def _decode_symbol(br: _BitReader, lut: np.ndarray) -> int:
+def _decode_symbol(br: _BitReader, lut) -> int:
     if br.nbits < 16:
         br._fill_to(16)
     nb = br.nbits
@@ -532,26 +543,78 @@ def _skip_to_restart(br: _BitReader):
     raise EOFError("restart marker not found")
 
 
-def _decode_block(br: _BitReader, dc_map: dict, ac_map: dict,
+def _decode_block(br: _BitReader, dc_lut, ac_lut,
                   preds: list[int], ci: int, zz: np.ndarray) -> np.ndarray:
-    t = _decode_symbol(br, dc_map)
-    diff = _extend(br.read_bits(t), t) if t else 0
-    preds[ci] += diff
-    zz[0] = preds[ci]
-    k = 1
-    while k < 64:
-        rs = _decode_symbol(br, ac_map)
-        r, s = rs >> 4, rs & 0x0F
+    """One 8x8 block, entropy loop fully inlined.
+
+    Semantics are _decode_symbol + read_bits + _extend exactly; the reader
+    state is mirrored into locals for the hot loop and written back only on
+    normal return — on EOF/_RestartMarker the caller abandons the scan
+    (_decode_scan returns _finish), so the un-synced state is never read.
+    Refills buffer to 32 bits instead of 16 (fewer _fill_to calls; marker
+    deferral is unchanged — buffered bits before a marker still decode)."""
+    window, nbits = br.window, br.nbits
+    lut = dc_lut
+    k = 0  # 0 = decode DC next, else next AC slot
+    while True:
+        if nbits < 16:
+            br.window, br.nbits = window, nbits
+            br._fill_to(32)
+            window, nbits = br.window, br.nbits
+        prefix = (window >> (nbits - 16)) if nbits >= 16 \
+            else (window << (16 - nbits))
+        entry = lut[prefix]
+        ln = entry & 0xFF
+        if ln == 0:
+            raise ValueError("invalid huffman code")
+        if ln > nbits:
+            raise br.stopped or EOFError("truncated entropy data")
+        nbits -= ln
+        window &= (1 << nbits) - 1
+        sym = entry >> 8
+        if k == 0:  # DC: sym = category t, then t raw diff bits
+            t = sym
+            diff = 0
+            if t:
+                if nbits < t:
+                    br.window, br.nbits = window, nbits
+                    br._fill_to(t)
+                    window, nbits = br.window, br.nbits
+                    if nbits < t:
+                        raise br.stopped or EOFError("truncated entropy data")
+                nbits -= t
+                v = window >> nbits
+                window &= (1 << nbits) - 1
+                diff = v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+            preds[ci] += diff
+            zz[0] = preds[ci]
+            k = 1
+            lut = ac_lut
+            continue
+        r, s = sym >> 4, sym & 0x0F
         if s == 0:
             if r == 15:  # ZRL
                 k += 16
-                continue
-            break  # EOB
+                if k < 64:
+                    continue
+            break  # EOB (or ZRL run past the block)
         k += r
         if k > 63:
             break
-        zz[k] = _extend(br.read_bits(s), s)
+        if nbits < s:
+            br.window, br.nbits = window, nbits
+            br._fill_to(s)
+            window, nbits = br.window, br.nbits
+            if nbits < s:
+                raise br.stopped or EOFError("truncated entropy data")
+        nbits -= s
+        v = window >> nbits
+        window &= (1 << nbits) - 1
+        zz[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
         k += 1
+        if k >= 64:
+            break
+    br.window, br.nbits = window, nbits
     return zz
 
 
