@@ -147,12 +147,21 @@ def recognize_page(gray: np.ndarray, ink_threshold: int = 128) -> list[dict]:
         # alignment search: preprocess blur can erode/extend the first
         # glyph's edge columns, shifting the detected x0 by a pixel or two
         # and derailing every downstream cell — try +-s offsets and keep
-        # the walk whose total template distance is smallest
-        best = None
-        for dx in range(-s, s + 1):
-            chars, confs, total = _walk(band, x0 + dx, x1, s)
-            if best is None or total < best[2]:
-                best = (chars, confs, total, x0 + dx)
+        # the walk whose total template distance is smallest. The detected
+        # x0 is tried FIRST: a zero-distance walk is unbeatable (distances
+        # are >= 0), so clean bands — the common case — pay one walk, and
+        # the full sweep runs only for degraded bands.
+        chars0, confs0, total0 = _walk(band, x0, x1, s)
+        if total0 == 0:
+            best = (chars0, confs0, 0, x0)
+        else:
+            best = None
+            for dx in range(-s, s + 1):
+                chars, confs, total = (
+                    (chars0, confs0, total0) if dx == 0
+                    else _walk(band, x0 + dx, x1, s))
+                if best is None or total < best[2]:
+                    best = (chars, confs, total, x0 + dx)
         chars, confs, _, x0 = best[0], best[1], best[2], best[3]
         word_cells = [(c, ch, confs[c]) for c, ch in enumerate(chars)]
         n_cells = len(chars)

@@ -217,14 +217,15 @@ def assess_readability(img: np.ndarray) -> tuple[str, list[str]]:
     issues = []
     if float(gray.std()) < 30:
         issues.append("low_contrast")
-    if laplacian_variance(gray) < 100:
+    lap = laplacian_variance(gray)
+    if lap < 100:
         issues.append("blurry")
     brightness = float(gray.mean())
     if brightness < 50:
         issues.append("too_dark")
     elif brightness > 230:
         issues.append("too_bright")
-    if laplacian_variance(gray) > 1000:
+    if lap > 1000:
         issues.append("high_noise")
     h, w = gray.shape[:2]
     if h < 500 or w < 500:
