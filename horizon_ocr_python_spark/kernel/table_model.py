@@ -159,12 +159,15 @@ def _blank_runs(mask) -> list[tuple[int, int]]:
     return runs
 
 
-def split_page_columns(lines: list[dict]) -> list[list[dict]]:
-    """Detect one dominant column gutter over recognized lines and split
-    every line crossing it. Returns a list of per-column line lists (1 list
-    when no gutter is found — the single-column fast path is bit-for-bit
-    unchanged). Crossing lines whose ink spans the valley (e.g. a full-width
-    title) are kept whole and assigned to the column their x starts in.
+def split_page_columns(lines: list[dict],
+                       _depth: int = 0) -> list[list[dict]]:
+    """Detect the dominant column gutter over recognized lines and split
+    every line crossing it, then recurse into each side (up to 4 columns —
+    the reference's D6 produces one box per column however many there
+    are). Returns a list of per-column line lists (1 list when no gutter
+    is found — the single-column fast path is bit-for-bit unchanged).
+    Crossing lines whose ink spans the valley (e.g. a full-width title)
+    are kept whole and assigned to the column their x starts in.
     """
     import numpy as np
 
@@ -217,7 +220,12 @@ def split_page_columns(lines: list[dict]) -> list[list[dict]]:
         else:
             left_col.append(piece[0])
             right_col.append(piece[1])
-    return [left_col, right_col]
+    if _depth >= 1:  # 2 recursion levels -> at most 4 columns
+        out = [left_col, right_col]
+    else:
+        out = (split_page_columns(left_col, _depth + 1)
+               + split_page_columns(right_col, _depth + 1))
+    return [col for col in out if col] or [[]]
 
 
 def _cut_line_at(ln: dict, valley_x: float) -> tuple[dict, dict] | None:

@@ -158,6 +158,30 @@ class TestColumnSplit:
                                                              it[1])))
         assert doc["raw_text"] == expected
 
+    def test_three_columns_recursive_split(self):
+        xs = [36, 36 + 16 * 12, 36 + 32 * 12]  # 12-char cols, 4-cell gutters
+        cols_text = [[f"c{c} line {k}" for k in range(8)] for c in range(3)]
+        spec = [(36, 72, "Top title", 3)]
+        for k in range(8):
+            for c in range(3):
+                spec.append((xs[c], 120 + 24 * k, cols_text[c][k], 2))
+        lines = glyphs.recognize_page(glyphs.render_page(spec))
+        cols = table_model.split_page_columns(lines)
+        assert len(cols) == 3
+        got = [[ln["text"] for ln in col if ln["font_size"] == 14.0]
+               for col in cols]
+        assert got == cols_text
+        # end-to-end: reading order is column-major within y//50 bands
+        pdf = pdf_text.build_scanned_pdf([glyphs.render_page(spec)])
+        doc = document.extract_document("https://x/3col.pdf", pdf)
+        items = [(72, 36, "Top title")] + [
+            (120 + 24 * k, xs[c], cols_text[c][k])
+            for c in range(3) for k in range(8)]
+        expected = "\n".join(t for (_, _, t) in
+                             sorted(items, key=lambda it: (it[0] // 50,
+                                                           it[1])))
+        assert doc["raw_text"] == expected
+
     def test_word_boxes_follow_the_cut(self):
         spec, left, right = self._two_col_spec()
         lines = glyphs.recognize_page(glyphs.render_page(spec))
