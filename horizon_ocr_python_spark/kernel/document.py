@@ -280,7 +280,8 @@ def _extract(url: str, payload: bytes, warc_ts: Any, lang: str,
 
             img = multimodal.decode_image(payload)
             ocr = _ocr_page(img, 1, junk_floor=PICTURE_FLOOR)
-            if ocr["text_lines"] and ocr["score"] >= IMAGE_TEXT_GATE:
+            if ((ocr["text_lines"] or ocr["tables"])
+                    and ocr["score"] >= IMAGE_TEXT_GATE):
                 return _assemble_from_ocr(url, payload, warc_ts, lang, now,
                                           st, file_type, [ocr])
             readability, readability_issues = preprocess.assess_readability(img)
@@ -475,7 +476,11 @@ def _ocr_page(img, p: int, junk_floor: Optional[float] = None) -> dict:
     regions = reading_order.merge_regions_iou(block_regions) + \
         [{"type": "table", "bbox": t["cells"][0]["bbox"], "page": p,
           "confidence": 1.0} for t in page_tables]
-    score = glyphs._osd_score(kept)
+    # acceptance score over EVERY recognized line, including the ones a
+    # detected table consumed — a document image that is ONLY a table has
+    # empty text_lines but real recognized content, and must not be
+    # mistaken for a picture (round-4 review finding)
+    score = glyphs._osd_score([ln for col in columns for ln in col])
     return {"dims": dims, "text_lines": text_lines, "regions": regions,
             "tables": page_tables, "content_type": content_type,
             "readability": readability,

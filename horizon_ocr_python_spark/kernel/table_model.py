@@ -144,21 +144,6 @@ COL_BLANK_FRAC = 0.85   # fraction of lines that must be blank across the valley
 MIN_COL_GAP_PX = 24.0   # narrower gaps are intra-table/kv spacing, not gutters
 
 
-def _blank_runs(mask) -> list[tuple[int, int]]:
-    """Contiguous True runs as (start, end_inclusive) — tiny local twin of
-    glyphs._bands (kept here to avoid a kernel-internal import)."""
-    runs, start = [], None
-    for i, v in enumerate(mask):
-        if v and start is None:
-            start = i
-        elif not v and start is not None:
-            runs.append((start, i - 1))
-            start = None
-    if start is not None:
-        runs.append((start, len(mask) - 1))
-    return runs
-
-
 def split_page_columns(lines: list[dict],
                        _depth: int = 0) -> list[list[dict]]:
     """Detect the dominant column gutter over recognized lines and split
@@ -192,8 +177,10 @@ def split_page_columns(lines: list[dict],
     cover = occ.sum(axis=0)
     n = len(boxed)
     blank = cover <= int((1.0 - COL_BLANK_FRAC) * n)
+    from .glyphs import _bands  # same (start, end_inclusive) run semantics
+
     best = None
-    for a, b in _blank_runs(blank.tolist()):
+    for a, b in _bands(blank):
         if b - a + 1 < MIN_COL_GAP_PX or a == 0 or b == w - 1:
             continue  # too narrow, or a page margin rather than a gutter
         both = int((occ[:, :a].any(axis=1) & occ[:, b + 1:].any(axis=1)).sum())
@@ -215,8 +202,11 @@ def split_page_columns(lines: list[dict],
             right_col.append(ln)
             continue
         piece = _cut_line_at(ln, valley_x)
-        if piece is None:  # ink crosses the valley (title): keep whole
-            (left_col if box[0] < valley_x else right_col).append(ln)
+        if piece is None:
+            # ink crosses the valley (title): keep whole. Any line
+            # reaching here spans the valley (box[0] < valley_x < box[2]),
+            # so it starts in — and is assigned to — the left column.
+            left_col.append(ln)
         else:
             left_col.append(piece[0])
             right_col.append(piece[1])

@@ -79,6 +79,24 @@ class TestScannedImageRoute:
         assert [r["type"] for r in doc["pages"][0]["layout_regions"]] \
             == ["image"]
 
+    def test_table_only_image_is_a_document(self):
+        """Round-4 review finding: an image that is ONLY a borderless table
+        (every recognized line consumed by the detector) must still pass
+        the acceptance gate and match its scanned-PDF twin."""
+        spec = [(36, 150, "Invoice Number" + " " * 4 + "INV-42000012", 2),
+                (36, 174, "Date" + " " * 14 + "2026-03-01", 2),
+                (36, 198, "Total" + " " * 13 + "$1,234.56", 2)]
+        img = glyphs.render_page(spec)
+        via_img = document.extract_document(
+            "https://x/t-only.png", png.encode_png(img))
+        via_pdf = document.extract_document(
+            "https://x/t-only.pdf", pdf_text.build_scanned_pdf([img]))
+        assert len(via_img["tables"]) == 1
+        assert via_img["tables"] == via_pdf["tables"]
+        f = {f["name"]: f["value"] for f in via_img["fields"]}
+        assert f["invoice_number"] == "INV-42000012"
+        assert via_img["raw_text"] == via_pdf["raw_text"] == ""
+
     def test_raster_table_from_image(self):
         spec = [(36, 72, "Scan 1 head", 3),
                 (36, 120, "plain body line", 2),
