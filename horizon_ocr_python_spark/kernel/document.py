@@ -593,7 +593,9 @@ def _assemble(url, payload, warc_ts, lang, now, st, file_type, page_dims,
                                                       readability_issues)},
             "layout_regions": page_regions.get(p, []),
             "text_lines": tls,
-            "tables": tables_rows if p == 1 else [],
+            # each page carries ITS tables (the reference's Page.tables,
+            # types.py:253-264); the doc-level array keeps them all
+            "tables": [t for t in tables_rows if t.get("page", 1) == p],
             "raw_text": reading_order.assemble_raw_text(tls),
         })
 
