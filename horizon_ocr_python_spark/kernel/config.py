@@ -27,6 +27,13 @@ class Thresholds:
     reocr_confidence: float = 0.70         # targeted_reocr.py:64
     reocr_improvement: float = 0.05        # targeted_reocr.py:66
     max_reocr_lines: int = 50              # targeted_reocr.py:67
+    # raster-path calibrations (the glyph recognizer's confidence scale
+    # runs high — garbage ~0.7, clean >= 0.95 — so the re-OCR selection
+    # threshold is recalibrated from the reference's 0.70; the image gates
+    # are engine additions, see kernel.document)
+    glyph_reocr_confidence: float = 0.90
+    image_text_gate: float = 0.88
+    picture_floor: float = 0.80
 
 
 @dataclass

@@ -86,6 +86,10 @@ def _resolve_settings(config: Optional[dict], fusion_strategy: str) -> dict:
         "min_block_chars": extr.get("min_block_chars"),
         "max_link_density": extr.get("max_link_density"),
         "min_text_density": extr.get("min_text_density") or None,
+        # raster-path knobs (kernel.config.Thresholds docs the calibration)
+        "glyph_reocr_confidence": thr.get("glyph_reocr_confidence", 0.90),
+        "image_text_gate": thr.get("image_text_gate", IMAGE_TEXT_GATE),
+        "picture_floor": thr.get("picture_floor", PICTURE_FLOOR),
     }
 
 
@@ -238,7 +242,8 @@ def _extract(url: str, payload: bytes, warc_ts: Any, lang: str,
         if sum(len(ln["text"]) for ln in ex["lines"]) <= SCANNED_CHAR_GATE:
             images = pdf_text.extract_pdf_images(payload)
             if images:
-                ocr_pages = [(_ocr_page(img, p) if img is not None else None)
+                ocr_pages = [(_ocr_page(img, p, settings=st)
+                              if img is not None else None)
                              for p, img in enumerate(images, 1)]
                 return _assemble_from_ocr(url, payload, warc_ts, lang, now,
                                           st, file_type, ocr_pages)
@@ -279,9 +284,10 @@ def _extract(url: str, payload: bytes, warc_ts: Any, lang: str,
             from . import multimodal, preprocess
 
             img = multimodal.decode_image(payload)
-            ocr = _ocr_page(img, 1, junk_floor=PICTURE_FLOOR)
+            ocr = _ocr_page(img, 1, junk_floor=st["picture_floor"],
+                            settings=st)
             if ((ocr["text_lines"] or ocr["tables"])
-                    and ocr["score"] >= IMAGE_TEXT_GATE):
+                    and ocr["score"] >= st["image_text_gate"]):
                 return _assemble_from_ocr(url, payload, warc_ts, lang, now,
                                           st, file_type, [ocr])
             readability, readability_issues = preprocess.assess_readability(img)
@@ -338,7 +344,8 @@ IMAGE_TEXT_GATE = 0.88
 PICTURE_FLOOR = 0.80
 
 
-def _ocr_page(img, p: int, junk_floor: Optional[float] = None) -> dict:
+def _ocr_page(img, p: int, junk_floor: Optional[float] = None,
+              settings: Optional[dict] = None) -> dict:
     """Shared raster page body — the reference's per-page loop
     (orchestrator.py:631-816) over decoded page pixels, used by scanned
     PDFs AND standalone scanned images (the reference feeds every image
@@ -417,9 +424,12 @@ def _ocr_page(img, p: int, junk_floor: Optional[float] = None) -> dict:
         # threshold calibrated to the glyph recognizer's confidence scale
         # (even random ink matches ~0.7 against the best of 95 templates;
         # clean lines sit >= 0.95) — the reference exposes exactly this
-        # knob (reocr confidence_threshold, config.py:221).
-        reocr_mod.process_lines(lines, _recompute, threshold=0.90,
-                                source="ocr_enhanced")
+        # knob (reocr confidence_threshold, config.py:221); ours threads
+        # through EngineConfig.thresholds.glyph_reocr_confidence.
+        reocr_mod.process_lines(
+            lines, _recompute,
+            threshold=(settings or {}).get("glyph_reocr_confidence", 0.90),
+            source="ocr_enhanced")
         for ln in lines:
             if ln.get("source") == "ocr_enhanced" and id(ln) in enhanced:
                 new = enhanced[id(ln)]

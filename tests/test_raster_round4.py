@@ -384,6 +384,89 @@ class TestConfidenceGatedFastPath:
         assert calls  # score < 1.0 -> the enhancement chain ran
 
 
+class TestRasterConfigThreading:
+    """C7: the raster-path knobs (glyph_reocr_confidence, image_text_gate,
+    picture_floor) thread from EngineConfig to their stages — no silent
+    no-op overrides."""
+
+    def test_image_text_gate_reaches_image_route(self):
+        from horizon_ocr_python_spark.kernel.config import load_config
+
+        payload = png.encode_png(_render())
+        base = document.extract_document("https://x/s.png", payload)
+        assert base["raw_text"] == TRUTH
+        cfg = load_config(data={"thresholds": {"image_text_gate": 1.01}},
+                          env={}).to_dict()
+        strict = document.extract_document("https://x/s.png", payload,
+                                           config=cfg)
+        assert strict["raw_text"] == ""  # nothing can pass a >1.0 gate
+
+    def test_picture_floor_reaches_image_route(self):
+        from horizon_ocr_python_spark.kernel.config import load_config
+
+        payload = png.encode_png(_render())
+        cfg = load_config(data={"thresholds": {"picture_floor": 1.01}},
+                          env={}).to_dict()
+        strict = document.extract_document("https://x/s.png", payload,
+                                           config=cfg)
+        assert strict["raw_text"] == ""  # floored out before enhancement
+
+    def test_glyph_reocr_confidence_reaches_reocr(self, monkeypatch):
+        from horizon_ocr_python_spark.kernel import reocr
+        from horizon_ocr_python_spark.kernel.config import load_config
+
+        seen = []
+        orig = reocr.process_lines
+
+        def spy(lines, recompute, threshold, **kw):
+            seen.append(threshold)
+            return orig(lines, recompute, threshold=threshold, **kw)
+
+        monkeypatch.setattr(reocr, "process_lines", spy)
+        page = _render().copy()
+        page[120:122, 96:98] = 255  # one bad bit -> score < 1.0, full chain
+        pdf = pdf_text.build_scanned_pdf([page], codec="flate")
+        document.extract_document("https://x/d.pdf", pdf)
+        assert seen and seen[-1] == 0.90  # calibrated default
+        cfg = load_config(
+            data={"thresholds": {"glyph_reocr_confidence": 0.42}},
+            env={}).to_dict()
+        document.extract_document("https://x/d.pdf", pdf, config=cfg)
+        assert seen[-1] == 0.42  # the override reaches the stage
+
+
+class TestPipelineReocrAcceptance:
+    """The fast path absorbed the old faded fixture (its haze decodes
+    perfectly raw), so this pins the pipeline-level O7 acceptance with a
+    fixture the raw pass genuinely garbles: gray-120 flood haze reads as
+    solid ink at threshold 128 (the line decodes as garbage) but vanishes
+    in the re-OCR sweep, which recovers the amount."""
+
+    def _hazed_pdf(self):
+        lines = [(36, 72, "Scan 9 alpha", 3), (36, 130, "Total: $9.99", 2),
+                 (36, 160, "healthy body line", 2)]
+        page = glyphs.render_page(lines).copy()
+        band = page[130:144, 36:240]
+        band[band == 255] = 120
+        return pdf_text.build_scanned_pdf([page], codec="flate")
+
+    def test_accepted_reocr_rewrites_the_line(self):
+        from horizon_ocr_python_spark.kernel.config import load_config
+
+        pdf = self._hazed_pdf()
+        doc = document.extract_document("https://x/h.pdf", pdf)
+        line2 = doc["raw_text"].splitlines()[1]
+        assert line2.startswith("Total:") and "$9.99" in line2
+        # with re-OCR selection disabled, the post-preprocess decode keeps
+        # its misread ("Total+..."), proving the clean "Total:" above came
+        # from the accepted threshold-sweep rewrite
+        cfg = load_config(
+            data={"thresholds": {"glyph_reocr_confidence": 0.0}},
+            env={}).to_dict()
+        off = document.extract_document("https://x/h.pdf", pdf, config=cfg)
+        assert "Total:" not in off["raw_text"].splitlines()[1]
+
+
 class TestGeneratorRound4Kinds:
     def test_scanned_image_and_two_col_rows_byte_identical(self):
         from horizon_ocr_python_spark.sources import pages
