@@ -284,13 +284,20 @@ def _extract(url: str, payload: bytes, warc_ts: Any, lang: str,
             from . import multimodal, preprocess
 
             img = multimodal.decode_image(payload)
-            ocr = _ocr_page(img, 1, junk_floor=st["picture_floor"],
-                            settings=st)
+            # the junk floor may never exceed the acceptance gate — a user
+            # lowering image_text_gate below the default floor must not be
+            # silently nullified by the floor's earlier short-circuit
+            floor = min(st["picture_floor"], st["image_text_gate"])
+            ocr = _ocr_page(img, 1, junk_floor=floor, settings=st)
             if ((ocr["text_lines"] or ocr["tables"])
                     and ocr["score"] >= st["image_text_gate"]):
                 return _assemble_from_ocr(url, payload, warc_ts, lang, now,
                                           st, file_type, [ocr])
-            readability, readability_issues = preprocess.assess_readability(img)
+            # readability was already assessed inside _ocr_page (it is
+            # exactly rot90-invariant: std/mean/interior-Laplacian identical,
+            # the size rule is an OR over both dims) — reuse, don't recompute
+            readability = ocr["readability"]
+            readability_issues = ocr["readability_issues"]
             page_dims = (int(img.shape[1]), int(img.shape[0]))
             page_regions = {1: [{"type": "image", "page": 1, "confidence": 1.0,
                                  "bbox": (0.0, 0.0, float(img.shape[1]),
@@ -373,10 +380,13 @@ def _ocr_page(img, p: int, junk_floor: Optional[float] = None,
     dims = (int(img.shape[1]), int(img.shape[0]))
     if junk_floor is not None and osd_score < junk_floor:
         # obvious non-document (standalone-image path only): skip the
-        # enhancement chain; the caller's picture fallback takes over
+        # enhancement chain; the caller's picture fallback takes over,
+        # reusing the readability computed here (P9 runs once per image)
+        readability, readability_issues = preprocess.assess_readability(img)
         return {"dims": dims, "text_lines": [], "regions": [], "tables": [],
-                "content_type": "", "readability": "good",
-                "readability_issues": [], "score": osd_score}
+                "content_type": "", "readability": readability,
+                "readability_issues": readability_issues,
+                "score": osd_score}
     # P9 readability per page (the reference assesses every page,
     # orchestrator.py:651-675) and P8 content-type on the upright pixels
     # (enhance.py:219-308); content type routes the O3 decoder order below.

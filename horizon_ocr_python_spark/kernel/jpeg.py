@@ -230,38 +230,6 @@ class _BitReader:
             self.window = (self.window << 8) | b
             self.nbits += 8
 
-    def read_bits(self, n: int) -> int:
-        if self.nbits < n:
-            self._fill_to(n)
-            if self.nbits < n:
-                raise self.stopped or EOFError("truncated entropy data")
-        self.nbits -= n
-        v = self.window >> self.nbits
-        self.window &= (1 << self.nbits) - 1
-        return v
-
-
-def _decode_symbol(br: _BitReader, lut) -> int:
-    if br.nbits < 16:
-        br._fill_to(16)
-    nb = br.nbits
-    prefix = (br.window >> (nb - 16)) if nb >= 16 else (br.window << (16 - nb))
-    entry = int(lut[prefix])
-    ln = entry & 0xFF
-    if ln == 0:
-        raise ValueError("invalid huffman code")
-    if ln > nb:
-        raise br.stopped or EOFError("truncated entropy data")
-    br.nbits = nb - ln
-    br.window &= (1 << br.nbits) - 1
-    return entry >> 8
-
-
-def _extend(v: int, t: int) -> int:
-    """T.81 F.12: map t raw bits to the signed coefficient."""
-    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
-
-
 def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
@@ -547,12 +515,14 @@ def _decode_block(br: _BitReader, dc_lut, ac_lut,
                   preds: list[int], ci: int, zz: np.ndarray) -> np.ndarray:
     """One 8x8 block, entropy loop fully inlined.
 
-    Semantics are _decode_symbol + read_bits + _extend exactly; the reader
-    state is mirrored into locals for the hot loop and written back only on
-    normal return — on EOF/_RestartMarker the caller abandons the scan
-    (_decode_scan returns _finish), so the un-synced state is never read.
-    Refills buffer to 32 bits instead of 16 (fewer _fill_to calls; marker
-    deferral is unchanged — buffered bits before a marker still decode)."""
+    Per symbol: 16-bit-prefix LUT lookup (T.81 huffman), then the raw
+    magnitude bits mapped through T.81 F.12 sign extension (v >= 2^(t-1)
+    positive, else v - 2^t + 1). The reader state is mirrored into locals
+    for the hot loop and written back only on normal return — on
+    EOF/_RestartMarker the caller abandons the scan (_decode_scan returns
+    _finish), so the un-synced state is never read. Refills buffer to 32
+    bits at a time (marker deferral is unchanged — buffered bits before a
+    marker still decode)."""
     window, nbits = br.window, br.nbits
     lut = dc_lut
     k = 0  # 0 = decode DC next, else next AC slot

@@ -503,8 +503,12 @@ def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment per cluster: member count, inertia (sum of squared
     quantized distances), and an md5 fingerprint of the trained centroid.
     """
+    # materialize the quantized vectors once: every assignment and update
+    # stage references emb, and each iteration's cents lineage would
+    # otherwise re-derive it — ~5 scans of the embeddings table per run
+    # (same rationale as the minhash keys localCheckpoint, operators/dedup)
     emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", _qvec(F.col("embedding")).alias("v"))
+        "vec_id", _qvec(F.col("embedding")).alias("v")).localCheckpoint()
     cents = (emb.filter(F.col("vec_id") < N_KMEANS)
              .select(F.col("vec_id").alias("cid"), F.col("v").alias("c")))
     for _ in range(KMEANS_ITERS):
@@ -515,7 +519,7 @@ def ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("m"))
         cents = means.groupBy("cid").agg(
             F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                        lambda s: s["m"]).alias("c"))
+                        lambda s: s["m"]).alias("c")).localCheckpoint()
     final = _kmeans_assign(emb, cents)
     fp = F.md5(F.concat_ws(
         ",", F.transform(F.col("c"), lambda x: x.cast("string"))))
@@ -551,23 +555,35 @@ def _kmeans_update_sql(assign_cte: str) -> str:
 )"""
 
 
-IVF_KMEANS_TRAIN_SQL = f"""
-WITH emb AS (
+def _kmeans_train_sql(iters: int = KMEANS_ITERS) -> str:
+    """Oracle SQL generated from the SAME iteration count the Spark side
+    loops over — the CTE chain c0 -> a0 -> c1 -> ... -> a{iters} is
+    assembled, not hand-unrolled, so tuning KMEANS_ITERS cannot silently
+    desynchronize the two engines."""
+    ctes = [f"""emb AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(round(x * {KMEANS_SCALE}) AS BIGINT)) AS v
   FROM embeddings
-), c0 AS (
+)""", f"""c0 AS (
   SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < {N_KMEANS}
-), a0 AS {_kmeans_assign_sql('c0')}, c1 AS {_kmeans_update_sql('a0')},
-a1 AS {_kmeans_assign_sql('c1')}, c2 AS {_kmeans_update_sql('a1')},
-a2 AS {_kmeans_assign_sql('c2')}
-SELECT a2.cid,
+)"""]
+    for i in range(iters):
+        ctes.append(f"a{i} AS {_kmeans_assign_sql(f'c{i}')}")
+        ctes.append(f"c{i + 1} AS {_kmeans_update_sql(f'a{i}')}")
+    ctes.append(f"a{iters} AS {_kmeans_assign_sql(f'c{iters}')}")
+    return f"""
+WITH {', '.join(ctes)}
+SELECT a{iters}.cid,
        CAST(count(*) AS BIGINT) AS n_members,
-       CAST(sum(a2.d) AS BIGINT) AS inertia,
-       md5(array_to_string(list_transform(c2.c, x -> CAST(x AS VARCHAR)),
-                           ',')) AS centroid_fp
-FROM a2 JOIN c2 ON a2.cid = c2.cid
-GROUP BY a2.cid, c2.c
-ORDER BY a2.cid
+       CAST(sum(a{iters}.d) AS BIGINT) AS inertia,
+       md5(array_to_string(
+           list_transform(c{iters}.c, x -> CAST(x AS VARCHAR)),
+           ',')) AS centroid_fp
+FROM a{iters} JOIN c{iters} ON a{iters}.cid = c{iters}.cid
+GROUP BY a{iters}.cid, c{iters}.c
+ORDER BY a{iters}.cid
 """
+
+
+IVF_KMEANS_TRAIN_SQL = _kmeans_train_sql()

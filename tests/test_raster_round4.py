@@ -401,15 +401,27 @@ class TestRasterConfigThreading:
                                            config=cfg)
         assert strict["raw_text"] == ""  # nothing can pass a >1.0 gate
 
-    def test_picture_floor_reaches_image_route(self):
+    def test_picture_floor_reaches_image_route(self, monkeypatch):
+        # the floor is clamped to min(floor, gate), so its observable is
+        # the WORK it skips: by default a picture (score ~0.72 < 0.80)
+        # never reaches the enhancement chain; with the floor lowered to 0
+        # the same picture runs preprocess — and still ends a picture row
+        from horizon_ocr_python_spark.sources import _png_doc_image
         from horizon_ocr_python_spark.kernel.config import load_config
 
-        payload = png.encode_png(_render())
-        cfg = load_config(data={"thresholds": {"picture_floor": 1.01}},
+        calls = []
+        orig = preprocess.preprocess_for_ocr
+        monkeypatch.setattr(preprocess, "preprocess_for_ocr",
+                            lambda *a, **k: calls.append(1) or orig(*a, **k))
+        payload = _png_doc_image.encode(_png_doc_image.render(seed=5))
+        base = document.extract_document("https://x/p.png", payload)
+        assert base["raw_text"] == "" and calls == []  # floored: no chain
+        cfg = load_config(data={"thresholds": {"picture_floor": 0.0}},
                           env={}).to_dict()
-        strict = document.extract_document("https://x/s.png", payload,
-                                           config=cfg)
-        assert strict["raw_text"] == ""  # floored out before enhancement
+        low = document.extract_document("https://x/p.png", payload,
+                                        config=cfg)
+        assert calls  # floor 0: the chain ran...
+        assert low["raw_text"] == ""  # ...and the gate still rejects
 
     def test_glyph_reocr_confidence_reaches_reocr(self, monkeypatch):
         from horizon_ocr_python_spark.kernel import reocr
