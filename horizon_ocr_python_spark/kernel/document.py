@@ -529,7 +529,12 @@ def _assemble_from_ocr(url, payload, warc_ts, lang, now, st, file_type,
         tables_rows.extend(ocr["tables"])
         page_meta[p] = {"content_type": ocr["content_type"],
                         "readability": ocr["readability"],
-                        "readability_issues": ocr["readability_issues"]}
+                        "readability_issues": ocr["readability_issues"],
+                        # per-page dims: a scan's pages can differ in size
+                        # (reference PageMetadata carries width/height per
+                        # page, types.py:243-250)
+                        "width": ocr["dims"][0],
+                        "height": ocr["dims"][1]}
     field_lists = [kie.extract_kv_fields(
         [tl["text"] for tl in page_text_lines[p]],
         confidence=0.85, page_num=p, source="ocr_fallback")
@@ -606,7 +611,8 @@ def _assemble(url, payload, warc_ts, lang, now, st, file_type, page_dims,
         pm = (page_meta or {}).get(p, {})
         pages.append({
             "number": p,
-            "metadata": {"width": page_dims[0], "height": page_dims[1],
+            "metadata": {"width": pm.get("width", page_dims[0]),
+                         "height": pm.get("height", page_dims[1]),
                          "content_type": pm.get("content_type", file_type),
                          "readability": pm.get("readability", readability),
                          "readability_issues": pm.get("readability_issues",

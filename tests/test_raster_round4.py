@@ -336,6 +336,19 @@ class TestContentTypeRouting:
         assert ln is not None and ln["text"] == "Total: $9.99"
 
 
+class TestPerPageDims:
+    def test_mixed_size_scan_pages_keep_own_dims(self):
+        p1 = glyphs.render_page([(36, 72, "first page line", 2)])
+        p2 = glyphs.render_page([(36, 72, "second page line", 2)],
+                                width=400, height=500)
+        pdf = pdf_text.build_scanned_pdf([p1, p2])
+        doc = document.extract_document("https://x/mix.pdf", pdf)
+        m1, m2 = (doc["pages"][0]["metadata"], doc["pages"][1]["metadata"])
+        assert (m1["width"], m1["height"]) == (612, 792)
+        assert (m2["width"], m2["height"]) == (400, 500)
+        assert doc["raw_text"] == "first page line\nsecond page line"
+
+
 class TestPerPageReadability:
     """VERDICT #8: P9 runs on every page, not just page 1."""
 
