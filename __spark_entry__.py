@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from horizon_ocr_python_spark.operators import (
     arrow_ops,
     compose,
+    curation,
     dedup,
     extras,
     fuse_relational,
@@ -67,26 +68,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS for the driver, which samples the FIRST 50 entries:
+    # the first block is the 13 operators that had only judge/CHECK evidence
+    # through round 4 (rotated to the front per the round-4 verdict), then
+    # the round-5 additions, then the rest; the tail entries carry four
+    # rounds of green driver evidence already (CHECK_r{N}.txt covers all).
     return {
-        # K7 / text pipeline operators (documents substrate)
-        "k7_quality_filter": textops.quality_filter,
-        "lang_id": textops.lang_id,
-        "token_count": textops.token_count,
-        "fingerprint": textops.fingerprint,
-        "quality_score": textops.quality_score,
-        # dedup family
-        "exact_dedup": dedup.exact_dedup,
-        "minhash_signatures": dedup.minhash_signatures,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "simhash": dedup.simhash,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        # similarity search
-        "cosine_topk": similarity.cosine_topk,
-        "l2_norms": similarity.l2_norms,
-        "lsh_bucket_ann": similarity.lsh_bucket_ann,
-        "lsh_ann_topk": similarity.lsh_ann_topk,
-        "ivf_ann_topk": similarity.ivf_ann_topk,
-        "ivf_kmeans_train": similarity.ivf_kmeans_train,
+        # previously driver-unsampled (rounds 1-4: judge-verified only)
+        "d8_interval_merge": extras.d8_interval_merge,
+        "r5_style_estimate": extras.r5_style_estimate,
+        "c2_cost_rollup": extras.c2_cost_rollup,
+        "o2_route_dispatch": extras.o2_route_dispatch,
+        "k4_bio_grouping": extras.k4_bio_grouping,
+        "s1_page_fanout": pagemodel.s1_page_fanout,
+        "fields_candidates": pagemodel.fields_candidates,
+        "k9_substring_span": pagemodel.k9_substring_span,
+        "r6_style_merge": pagemodel.r6_style_merge,
+        "k8_overlap_join": pagemodel.k8_overlap_join,
+        "embedding_cosine_pairs": compose.embedding_cosine_pairs,
+        "neardup_verdict": compose.neardup_verdict,
+        "supplier_region_rollup": compose.supplier_region_rollup,
+        # round-5 additions: per-field normalization contract, line-level
+        # curation filter, normalized business-view split
+        "v9_normalized_value": validators_sql.v9_normalized_value,
+        "o9_line_confidence": curation.o9_line_confidence,
+        "n1_normalized_split": curation.n1_normalized_split,
         # window/sessionization (D13/O7/R1 dataset forms)
         "d13_gap_sessionize": sessionize.gap_sessionize,
         "o7_worst_k": sessionize.worst_k,
@@ -96,21 +102,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k5_weighted_vote": fuse_relational.weighted_vote,
         "k5_consensus": fuse_relational.consensus,
         "k6_field_status": fuse_relational.field_status,
-        # validators as expressions (V1-V5, R3)
+        # validators as expressions (V1-V8, R3)
         "v1_amount_roundtrip": validators_sql.v1_amount_roundtrip,
         "v2_total_check": validators_sql.v2_total_check,
         "v3_date_normalize": validators_sql.v3_date_normalize,
         "v4_currency_validate": validators_sql.v4_currency_validate,
         "v5_regex_validate": validators_sql.v5_regex_validate,
+        "v6_non_empty": validators_sql.v6_non_empty,
+        "v7_validator_dispatch": validators_sql.v7_validator_dispatch,
+        "v8_cross_field": validators_sql.v8_cross_field,
         "r3_font_bins": validators_sql.r3_font_bins,
         "table_cell_rowtexts": tables_rich.table_cell_rowtexts,
         "tpch_q5_local_supplier_volume": relational.tpch_q5_local_supplier_volume,
         "s3_exif_dims": extras.s3_exif_dims,
         "s1_scanned_gate": extras.s1_scanned_gate,
         "s3_scanned_image": extras.s3_scanned_image,
-        "v6_non_empty": validators_sql.v6_non_empty,
-        "v7_validator_dispatch": validators_sql.v7_validator_dispatch,
-        "v8_cross_field": validators_sql.v8_cross_field,
+        "o6_conf_reroute": extras.o6_conf_reroute,
         # relational coverage (gap list §2.9)
         "tpch_q1_pricing_summary": relational.pricing_summary,
         "tpch_q3_top_revenue": relational.top_revenue_orders,
@@ -127,23 +134,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (markdown structure is not SQL-expressible; kernel
         # renderer is pinned by unit tests instead)
         "s6_markdown_render": arrow_ops.s6_markdown_render,
-        # further §2 surfaces
-        "o6_conf_reroute": extras.o6_conf_reroute,
-        "d8_interval_merge": extras.d8_interval_merge,
-        "r5_style_estimate": extras.r5_style_estimate,
-        "c2_cost_rollup": extras.c2_cost_rollup,
-        "o2_route_dispatch": extras.o2_route_dispatch,
-        "k4_bio_grouping": extras.k4_bio_grouping,
-        # multi-page document model + anchoring algebra (S1/K9)
-        "s1_page_fanout": pagemodel.s1_page_fanout,
-        "fields_candidates": pagemodel.fields_candidates,
-        "k9_substring_span": pagemodel.k9_substring_span,
-        "r6_style_merge": pagemodel.r6_style_merge,
-        "k8_overlap_join": pagemodel.k8_overlap_join,
-        # composed end-to-end flows
-        "embedding_cosine_pairs": compose.embedding_cosine_pairs,
-        "neardup_verdict": compose.neardup_verdict,
-        "supplier_region_rollup": compose.supplier_region_rollup,
+        # driver-green in every round 1-4 (tail: beyond the 50-sample)
+        "k7_quality_filter": textops.quality_filter,
+        "lang_id": textops.lang_id,
+        "token_count": textops.token_count,
+        "fingerprint": textops.fingerprint,
+        "quality_score": textops.quality_score,
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash": dedup.simhash,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "cosine_topk": similarity.cosine_topk,
+        "l2_norms": similarity.l2_norms,
+        "lsh_bucket_ann": similarity.lsh_bucket_ann,
+        "lsh_ann_topk": similarity.lsh_ann_topk,
+        "ivf_ann_topk": similarity.ivf_ann_topk,
+        "ivf_kmeans_train": similarity.ivf_kmeans_train,
     }
 
 
@@ -197,6 +204,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_framesample": arrow_ops.MULTIMODAL_FRAMESAMPLE_SQL,
         "k9_anchor_join": arrow_ops.K9_ANCHOR_JOIN_SQL,
         "o7_reocr_pass": arrow_ops.O7_REOCR_PASS_SQL,
+        "v9_normalized_value": validators_sql.V9_NORMALIZED_VALUE_SQL,
+        "o9_line_confidence": curation.O9_LINE_CONFIDENCE_SQL,
+        "n1_normalized_split": curation.N1_NORMALIZED_SPLIT_SQL,
         # s6_markdown_render intentionally has no oracle (rows-only check)
         "o6_conf_reroute": extras.O6_CONF_REROUTE_SQL,
         "d8_interval_merge": extras.D8_INTERVAL_MERGE_SQL,

@@ -54,7 +54,8 @@ def main() -> None:
     # cache key carries a generator version: round 3 added scanned/image-only
     # PDFs (glyph pages behind /Image XObjects) to the corpus — a stale cache
     # would silently bench the old workload
-    pages_path = f"/tmp/bench_pages_{N_PAGES}_g4"
+    # _g5: round 5 added the 4-column line-items table to every 3rd HTML page
+    pages_path = f"/tmp/bench_pages_{N_PAGES}_g5"
     if not os.path.exists(pages_path):
         pages_dataframe(spark, N_PAGES, seed=42, slices=2 * CPUS) \
             .write.parquet(pages_path)

@@ -33,10 +33,25 @@ def _bbox_dict(bbox) -> dict | None:
             "x2": float(bbox[2]), "y2": float(bbox[3])}
 
 
+def _validator_row(r: dict) -> dict:
+    """ValidatorResult (types.py:210-216): name/passed/message + the parse
+    outputs (parsed_value, normalized, format_used, ...) as the stringified
+    details map the reference carries."""
+    return {
+        "name": r["name"],
+        "passed": bool(r["passed"]),
+        "message": r.get("message"),
+        "details": {k: str(v) for k, v in r.items()
+                    if k not in ("name", "passed", "message") and v is not None},
+    }
+
+
 def _field_row(f: dict) -> dict:
     return {
         "name": f["name"],
         "value": str(f["value"]) if f["value"] is not None else None,
+        "normalized_value": (str(f["normalized_value"])
+                             if f.get("normalized_value") is not None else None),
         "data_type": f["data_type"],
         "confidence": float(f["confidence"]),
         "status": f["status"],
@@ -51,6 +66,7 @@ def _field_row(f: dict) -> dict:
             "bbox": _bbox_dict(c.get("bbox")),
         } for c in f.get("candidates", [])],
         "n_candidates": len(f.get("candidates", [])),
+        "validators": [_validator_row(r) for r in f.get("validators", [])],
     }
 
 
@@ -60,6 +76,7 @@ def _page_row(p: dict) -> dict:
         "number": int(p["number"]),
         "width": int(md.get("width", 0)),
         "height": int(md.get("height", 0)),
+        "dpi": int(md["dpi"]) if md.get("dpi") is not None else None,
         "content_type": md.get("content_type"),
         "readability": md.get("readability"),
         "readability_issues": list(md.get("readability_issues", [])),
@@ -74,10 +91,18 @@ def _page_row(p: dict) -> dict:
             "bbox": _bbox_dict(tl.get("bbox")),
             "font_size": (float(tl["font_size"])
                           if tl.get("font_size") is not None else None),
+            "confidence": (float(tl["confidence"])
+                           if tl.get("confidence") is not None else None),
+            "source": tl.get("source"),
+            "content_type": tl.get("content_type"),
             "words": [{
                 "text": w.get("text"),
                 "bbox": _bbox_dict(w.get("bbox")),
                 "confidence": float(w.get("confidence", 1.0)),
+                # words inherit their line's source/content_type
+                # (types.py:129-135)
+                "source": w.get("source", tl.get("source")),
+                "content_type": w.get("content_type", tl.get("content_type")),
             } for w in tl.get("words", [])],
             "style": ({
                 "font_name": tl["style"].get("font_name"),
@@ -144,6 +169,35 @@ def _reconstruction_row(rec: dict | None) -> dict | None:
     }
 
 
+def _normalized_row(n: dict | None) -> dict | None:
+    if not n:
+        return None
+
+    def item(it):
+        ev = it.get("_evidence") or {}
+        return {
+            "values": {str(k): (str(v) if v is not None else None)
+                       for k, v in (it.get("values") or {}).items()},
+            "_evidence": {
+                "table_id": ev.get("table_id"),
+                "cell_refs": [{"row": int(c["row"]), "col": int(c["col"])}
+                              for c in ev.get("cell_refs", [])],
+                "page": int(ev.get("page", 1)),
+            },
+        }
+
+    return {
+        "document_type": n.get("document_type"),
+        "header": {str(k): (str(v) if v is not None else None)
+                   for k, v in (n.get("header") or {}).items()},
+        "line_items": [item(it) for it in n.get("line_items", [])],
+        "totals": {str(k): (str(v) if v is not None else None)
+                   for k, v in (n.get("totals") or {}).items()},
+        "line_items_secondary": [item(it) for it
+                                 in n.get("line_items_secondary", [])],
+    }
+
+
 def _doc_to_row(url, warc_ts, lang, doc: dict, content_key: str,
                 partition_id: int, extract_ms: float) -> dict:
     fields = [_field_row(f) for f in doc.get("fields", [])]
@@ -177,6 +231,7 @@ def _doc_to_row(url, warc_ts, lang, doc: dict, content_key: str,
             "issues": list(v.get("issues", [])),
         },
         "reconstruction": _reconstruction_row(doc.get("reconstruction")),
+        "normalized": _normalized_row(doc.get("normalized")),
         "partition_id": partition_id,
         "extract_ms": extract_ms,
     }
@@ -252,6 +307,7 @@ def with_json_output(documents: DataFrame) -> DataFrame:
         F.col("page_count"), F.col("pages"),
         F.col("title"), F.col("raw_text"),
         F.col("fields"), F.col("tables"), F.col("validation"),
+        F.col("normalized"),
         F.col("reconstruction").alias("reconstruction_prompt"),
         F.col("status"), F.col("error"),
     )

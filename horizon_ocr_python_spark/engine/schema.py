@@ -48,10 +48,22 @@ CANDIDATE_SCHEMA = StructType([
     StructField("bbox", BBOX_SCHEMA, True),
 ])
 
-# Field (types.py:220-236): value + full candidate list + anchor position.
+# ValidatorResult (types.py:210-216 / JSON_SCHEMA.md:186-193): per-check
+# verdict; extra parse outputs (parsed_value, normalized, format_used, ...)
+# travel in the stringified details map, as the reference's details object.
+VALIDATOR_SCHEMA = StructType([
+    StructField("name", StringType(), False),
+    StructField("passed", BooleanType(), False),
+    StructField("message", StringType(), True),
+    StructField("details", MapType(StringType(), StringType()), True),
+])
+
+# Field (types.py:220-236): value + normalized_value + full candidate list +
+# anchor position + per-field validator results (JSON_SCHEMA.md:79).
 FIELD_SCHEMA = StructType([
     StructField("name", StringType(), False),
     StructField("value", StringType(), True),
+    StructField("normalized_value", StringType(), True),
     StructField("data_type", StringType(), True),
     StructField("confidence", DoubleType(), True),
     StructField("status", StringType(), True),
@@ -60,6 +72,7 @@ FIELD_SCHEMA = StructType([
     StructField("bbox", BBOX_SCHEMA, True),
     StructField("candidates", ArrayType(CANDIDATE_SCHEMA), True),
     StructField("n_candidates", IntegerType(), True),
+    StructField("validators", ArrayType(VALIDATOR_SCHEMA), True),
 ])
 
 # Cell (types.py:161-178): grid position + spans + header flag + bbox.
@@ -86,10 +99,14 @@ TABLE_SCHEMA = StructType([
 
 # Word / TextLine (types.py:129-149): positions where the source has them
 # (PDF text layer); HTML blocks carry no geometry -> nulls, empty words.
+# Words inherit their line's source/content_type (types.py:129-135 Word
+# carries both; the kernel computes them per line).
 WORD_SCHEMA = StructType([
     StructField("text", StringType(), True),
     StructField("bbox", BBOX_SCHEMA, True),
     StructField("confidence", DoubleType(), True),
+    StructField("source", StringType(), True),
+    StructField("content_type", StringType(), True),
 ])
 
 # TextStyle (types.py:110-125, R4): present on the PDF-native path.
@@ -103,10 +120,17 @@ STYLE_SCHEMA = StructType([
     StructField("confidence", DoubleType(), True),
 ])
 
+# TextLine observables (types.py:138-148): per-line OCR confidence, source
+# engine ("ocr" glyph recognizer / "ocr_enhanced" after accepted re-OCR /
+# "pdf_text" native layer / "html" markup), and the page's P8 content type —
+# the columns a training-data pipeline filters on.
 LINE_SCHEMA = StructType([
     StructField("text", StringType(), True),
     StructField("bbox", BBOX_SCHEMA, True),
     StructField("font_size", DoubleType(), True),
+    StructField("confidence", DoubleType(), True),
+    StructField("source", StringType(), True),
+    StructField("content_type", StringType(), True),
     StructField("words", ArrayType(WORD_SCHEMA), True),
     StructField("style", STYLE_SCHEMA, True),
 ])
@@ -123,6 +147,7 @@ PAGE_SCHEMA = StructType([
     StructField("number", IntegerType(), False),
     StructField("width", IntegerType(), True),
     StructField("height", IntegerType(), True),
+    StructField("dpi", IntegerType(), True),
     StructField("content_type", StringType(), True),
     StructField("readability", StringType(), True),
     StructField("readability_issues", ArrayType(StringType()), True),
@@ -168,6 +193,31 @@ RECONSTRUCTION_SCHEMA = StructType([
     StructField("fields_summary", MapType(StringType(), StringType()), True),
 ])
 
+# Normalized business-ready view (JSON_SCHEMA.md:360-395). Dynamic row-level
+# keys live in a map (`values`) with `_evidence` as a typed sibling — the one
+# structural deviation from the reference's inline-keys JSON (Spark structs
+# cannot mix dynamic keys with typed fields in one object).
+NORMALIZED_ITEM_SCHEMA = StructType([
+    StructField("values", MapType(StringType(), StringType()), True),
+    StructField("_evidence", StructType([
+        StructField("table_id", StringType(), True),
+        StructField("cell_refs", ArrayType(StructType([
+            StructField("row", IntegerType(), True),
+            StructField("col", IntegerType(), True),
+        ])), True),
+        StructField("page", IntegerType(), True),
+    ]), True),
+])
+
+NORMALIZED_SCHEMA = StructType([
+    StructField("document_type", StringType(), True),
+    StructField("header", MapType(StringType(), StringType()), True),
+    StructField("line_items", ArrayType(NORMALIZED_ITEM_SCHEMA), True),
+    StructField("totals", MapType(StringType(), StringType()), True),
+    StructField("line_items_secondary",
+                ArrayType(NORMALIZED_ITEM_SCHEMA), True),
+])
+
 VALIDATION_SCHEMA = StructType([
     StructField("passed", BooleanType(), True),
     StructField("total_checks", IntegerType(), True),
@@ -199,6 +249,7 @@ DOCUMENT_SCHEMA = StructType([
     StructField("tables", ArrayType(TABLE_SCHEMA), True),
     StructField("validation", VALIDATION_SCHEMA, True),
     StructField("reconstruction", RECONSTRUCTION_SCHEMA, True),
+    StructField("normalized", NORMALIZED_SCHEMA, True),
     StructField("partition_id", IntegerType(), True),
     StructField("extract_ms", DoubleType(), True),
 ])

@@ -46,10 +46,10 @@ class FusionConfig:
         "donut": 1.0, "layoutlmv3": 0.9, "trocr": 0.8,
         "tesseract": 0.7, "ppstructure": 0.85,
         "html_kv": 1.0, "html_table": 0.9, "pdf_text": 0.95,
-        # raster-path sources — keep in lockstep with
-        # fuse.DEFAULT_SOURCE_WEIGHTS (a config-supplied dict replaces the
-        # kernel default WHOLESALE; a missing source falls to the 0.5
-        # unknown-source weight and flips weighted_vote winners)
+        # raster-path sources, mirroring fuse.DEFAULT_SOURCE_WEIGHTS. A
+        # user-supplied dict is MERGED over the kernel defaults at resolve
+        # time (kernel.document._resolve_settings) — missing sources keep
+        # their calibrated weights; explicit keys override.
         "ocr_fallback": 0.8, "ocr_table": 0.8,
     })
 

@@ -53,14 +53,48 @@ def _validation_summary(check_results: list[dict]) -> dict:
     }
 
 
+def _normalized_value(f: dict, results: list[dict]) -> Optional[str]:
+    """Per-field normalized_value (types.py:224 "e.g. date -> ISO format";
+    contract pinned by the reference's own fixture, tests/test_markdown.py:
+    131-146: string "12345" -> "12345", currency "$500.00" -> "500.00"):
+
+    - date  -> ISO YYYY-MM-DD from the date validator's parse
+               (normalize_date, kie/validators.py:281-286)
+    - currency/number -> parsed amount from the amount validator
+               (AmountValidator._parse_amount, kie/validators.py:96-130),
+               2-decimal string per the fixture
+    - other types -> the value unchanged
+    A failed normalizing parse yields None (no normalized form exists).
+    """
+    value = f["value"]
+    if value is None:
+        return None
+    dt = f.get("data_type", "string")
+    if dt == "date":
+        for r in results:
+            if r["name"] == "date":
+                return r.get("normalized")  # None when the parse failed
+        return validators.normalize_date(str(value))
+    if dt in ("currency", "number"):
+        for r in results:
+            if r["name"] == "amount":
+                p = r.get("parsed_value")
+                return f"{p:.2f}" if p is not None else None
+        p = validators.parse_amount(value)
+        return f"{p:.2f}" if p is not None else None
+    return str(value)
+
+
 def _apply_validator_status(fields: list[dict], now: Optional[datetime],
                             low_confidence: float = 0.5) -> list[dict]:
-    """Run auto-selected validators per field and update status
+    """Run auto-selected validators per field, update status
     (orchestrator.py:1304-1347): all passed & conf >= thresholds.low_confidence
-    -> validated; any failed -> validation_failed."""
+    -> validated; any failed -> validation_failed. Also writes the per-field
+    normalized_value (types.py:224) from the validators' parses."""
     for f in fields:
         results = validators.run_validators(f["name"], f["data_type"], f["value"], now=now)
         f["validators"] = results
+        f["normalized_value"] = _normalized_value(f, results)
         if results:
             if all(r["passed"] for r in results) and f["confidence"] >= low_confidence:
                 f["status"] = "validated"
@@ -77,11 +111,18 @@ def _resolve_settings(config: Optional[dict], fusion_strategy: str) -> dict:
     fus = cfg.get("fusion") or {}
     thr = cfg.get("thresholds") or {}
     extr = cfg.get("extraction") or {}
+    # user-supplied weights MERGE over the kernel defaults (round-4 ADVICE):
+    # a config written before a new kernel source existed must not silently
+    # demote that source to the unknown-source weight — explicit keys still
+    # override, missing keys keep their calibrated defaults
+    user_weights = fus.get("source_weights") or None
+    source_weights = ({**fuse_mod.DEFAULT_SOURCE_WEIGHTS, **user_weights}
+                      if user_weights else None)
     return {
         "strategy": fus.get("strategy", fusion_strategy),
         "min_confidence": fus.get("min_confidence", fuse_mod.MIN_CONFIDENCE),
         "validator_bonus": fus.get("validator_bonus", fuse_mod.VALIDATOR_BONUS),
-        "source_weights": fus.get("source_weights") or None,
+        "source_weights": source_weights,
         "low_confidence": thr.get("low_confidence", 0.5),
         "min_block_chars": extr.get("min_block_chars"),
         "max_link_density": extr.get("max_link_density"),
@@ -168,6 +209,11 @@ def _pdf_line_struct(ln: dict) -> dict:
         "bbox": (x, y - size, x + step * len(ln["text"]), y),
         "font_size": size,
         "words": words,
+        # native text layer: certain by construction (types.py:138-148 —
+        # the observables the reference's TextLine carries)
+        "confidence": 1.0,
+        "source": "pdf_text",
+        "content_type": "printed",
         "style": style,
     }
 
@@ -217,6 +263,92 @@ def build_reconstruction(pages: list[dict], fields: list[dict]) -> dict:
         "elements": elements,
         "tables": table_grids,
         "fields_summary": {f["name"]: f["value"] for f in fields},
+    }
+
+
+# normalized-view key split (JSON_SCHEMA.md:360-395 rule: "Never mix header
+# fields with line-item fields"; totals keys per the totals block)
+_TOTALS_KEYS = {"subtotal", "tax", "tax_amount", "total", "total_amount"}
+
+
+def build_normalized(fields: list[dict], tables_rows: list[dict]) -> dict:
+    """Deterministic `normalized` business view (JSON_SCHEMA.md:360-395).
+
+    The reference produces this block only via GPT-Vision KIE (K10,
+    azure/gpt_vision_kie.py:51-135 — cloud-scoped out per SURVEY §7.1);
+    this is the deterministic assembly of the same contract from what the
+    pipeline already extracted:
+
+    - header: fused fields that are NOT totals keys (never mix header and
+      line-item fields); values are strings (normalized_value preferred)
+    - totals: subtotal / tax_amount / total_amount from the totals fields
+    - line_items: the LARGEST detected table; its first row provides the
+      column keys (lowercased, spaces -> _), each body row becomes one item
+      with `_evidence {table_id, cell_refs, page}` pointing at its cells
+    - line_items_secondary: the second-largest table, same shape
+    - document_type: 'invoice' when invoice fields are present, else 'auto'
+    """
+    def sval(f):
+        v = f.get("normalized_value") if f.get("normalized_value") is not None \
+            else f.get("value")
+        return str(v) if v is not None else None
+
+    by_name = {f["name"].lower(): f for f in fields}
+    header = {f["name"]: sval(f) for f in fields
+              if f["name"].lower() not in _TOTALS_KEYS}
+    totals = {}
+    sub = by_name.get("subtotal")
+    tax = by_name.get("tax") or by_name.get("tax_amount")
+    tot = by_name.get("total") or by_name.get("total_amount")
+    if sub:
+        totals["subtotal"] = sval(sub)
+    if tax:
+        totals["tax_amount"] = sval(tax)
+    if tot:
+        totals["total_amount"] = sval(tot)
+    doc_type = ("invoice" if ("invoice_number" in by_name
+                              or "invoice" in by_name or tot) else "auto")
+
+    def items_from(table: dict, table_idx: int) -> list[dict]:
+        rows = table.get("rows", [])
+        if len(rows) < 2:
+            return []
+        keys = [(c or f"col_{i}").strip().lower().replace(" ", "_")
+                for i, c in enumerate(rows[0])]
+        page = int(table.get("page", 1))
+        out = []
+        for ri, row in enumerate(rows[1:], 1):
+            out.append({
+                "values": {k: (row[ci] if ci < len(row) else None)
+                           for ci, k in enumerate(keys)},
+                "_evidence": {
+                    "table_id": f"table-{table_idx:03d}",
+                    "cell_refs": [{"row": ri, "col": ci}
+                                  for ci in range(len(keys))],
+                    "page": page,
+                },
+            })
+        return out
+
+    # largest table = line_items, second largest = secondary (the order the
+    # reference's prompts ask GPT for, gpt_vision_kie.py:56,75). 2-column
+    # label/value tables are KV shapes — they already flattened into fields
+    # (the table_fields path in _assemble) and feed header/totals, not
+    # line_items ("Header metadata goes to normalized.header",
+    # gpt_vision_kie.py:55).
+    candidates = [(i, t) for i, t in enumerate(tables_rows)
+                  if t.get("rows") and not all(len(r) == 2
+                                               for r in t["rows"])]
+    indexed = sorted(candidates, key=lambda it: -len(it[1].get("rows", [])))
+    line_items = items_from(indexed[0][1], indexed[0][0]) if indexed else []
+    secondary = (items_from(indexed[1][1], indexed[1][0])
+                 if len(indexed) > 1 else [])
+    return {
+        "document_type": doc_type,
+        "header": header,
+        "line_items": line_items,
+        "totals": totals,
+        "line_items_secondary": secondary,
     }
 
 
@@ -311,7 +443,11 @@ def _extract(url: str, payload: bytes, warc_ts: Any, lang: str,
             min_text_density=st["min_text_density"])
         n_pages = 1
         page_text_lines = {1: [{"text": b["text"], "page": 1, "bbox": None,
-                                "font_size": None, "words": [], "style": None}
+                                "font_size": None, "words": [],
+                                # markup parse is certain; no pixels -> no
+                                # OCR content type
+                                "confidence": 1.0, "source": "html",
+                                "content_type": None, "style": None}
                                for b in hx["content_blocks"]]}
         page_regions = {1: [{"type": b["role"], "index": b["index"],
                              "bbox": None, "page": 1, "confidence": 1.0}
@@ -366,7 +502,7 @@ def _ocr_page(img, p: int, junk_floor: Optional[float] = None,
     """
     import numpy as np
 
-    from . import glyphs, preprocess, table_model
+    from . import glyphs, preprocess, style_merge, table_model
     from . import reocr as reocr_mod
 
     # O10 orientation detection FIRST, on the raw image (the OSD order the
@@ -377,21 +513,28 @@ def _ocr_page(img, p: int, junk_floor: Optional[float] = None,
     osd_lines, rot_k, osd_score = glyphs.recognize_with_osd(gray0)
     if rot_k:
         img = np.ascontiguousarray(np.rot90(img, rot_k))
+    # page dims from the RAW upright pixels, the reference's
+    # `h, w = image.shape[:2]` before preprocess (orchestrator.py:648) —
+    # dewarp/deskew may resize the working frame but page metadata and the
+    # style estimator's page_height stay raw
     dims = (int(img.shape[1]), int(img.shape[0]))
     if junk_floor is not None and osd_score < junk_floor:
-        # obvious non-document (standalone-image path only): skip the
-        # enhancement chain; the caller's picture fallback takes over,
-        # reusing the readability computed here (P9 runs once per image)
-        readability, readability_issues = preprocess.assess_readability(img)
-        return {"dims": dims, "text_lines": [], "regions": [], "tables": [],
-                "content_type": "", "readability": readability,
-                "readability_issues": readability_issues,
-                "score": osd_score}
-    # P9 readability per page (the reference assesses every page,
-    # orchestrator.py:651-675) and P8 content-type on the upright pixels
-    # (enhance.py:219-308); content type routes the O3 decoder order below.
-    readability, readability_issues = preprocess.assess_readability(img)
-    content_type, _ct_conf = preprocess.detect_content_type(img)
+        # obvious non-document (standalone-image path only) — UNLESS a page
+        # quadrilateral is visible (a photographed document inside a
+        # margin: the case P1 dewarp exists for scores like garbage until
+        # dewarped, so it gets the full enhancement chain; the final
+        # IMAGE_TEXT_GATE still rejects genuine pictures afterwards).
+        # Otherwise skip the enhancement chain; the caller's picture
+        # fallback takes over, reusing the readability computed here
+        # (P9 runs once per image — raw pixels, a documented deviation:
+        # preprocess never runs on this page).
+        if preprocess.detect_page_quad(img) is None:
+            readability, readability_issues = preprocess.assess_readability(img)
+            return {"dims": dims, "text_lines": [], "regions": [],
+                    "tables": [], "content_type": "",
+                    "readability": readability,
+                    "readability_issues": readability_issues,
+                    "score": osd_score}
     if osd_score == 1.0 and osd_lines:
         # Confidence-gated recomputation (the reference's own pattern —
         # low-conf work is recomputed, high-conf work is not,
@@ -402,10 +545,23 @@ def _ocr_page(img, p: int, junk_floor: Optional[float] = None,
         # text — skip them. Lossless pages (FlateDecode scans, PNG images,
         # ~half the scanned corpus) take this path; any JPEG blur drops
         # the score below 1.0 and runs the full enhancement chain.
+        # P8/P9 run on the raw upright pixels here — a documented
+        # deviation from orchestrator.py:655-665 (which assesses the
+        # PROCESSED pixels): on this path preprocess never runs, and a
+        # perfect-score page is by construction clean enough that the
+        # processed and raw assessments agree.
         lines = osd_lines
+        readability, readability_issues = preprocess.assess_readability(img)
+        content_type, _ct_conf = preprocess.detect_content_type(img)
     else:
         pre = preprocess.preprocess_for_ocr(img)
         gray = preprocess.to_gray(pre) if pre.ndim == 3 else pre
+        # P9 readability + P8 content-type on the PREPROCESSED pixels —
+        # the reference's order (orchestrator.py:655-665: preprocess_for_ocr
+        # first, then detect_content_type and assess_readability on
+        # `processed`); content type routes the O3 decoder order below.
+        readability, readability_issues = preprocess.assess_readability(gray)
+        content_type, _ct_conf = preprocess.detect_content_type(gray)
         lines = glyphs.recognize_page(gray)
         # O7 targeted re-OCR with O4 positional write-back:
         # low-confidence lines (faded/hazy strokes the default ink
@@ -483,13 +639,26 @@ def _ocr_page(img, p: int, junk_floor: Optional[float] = None,
                     dims[0], dims[1]),
                 "bbox": env, "page": p, "confidence": conf})
     kept.sort(key=lambda ln: (int(ln["y"] // 50), ln["x"]))
+    # R5 estimated styles on every raster line (the reference estimates a
+    # TextStyle whenever PDF-native styles are absent, orchestrator.py:
+    # 606-629/775-777 -> pdf_style_extractor.py:192-258), with the raw page
+    # height as page_height (the orchestrator passes the pre-preprocess `h`).
+    # Lines also surface the OCR observables the reference's TextLine
+    # carries (types.py:138-148): per-line confidence, source ("ocr" =
+    # the deterministic glyph recognizer in the TrOCR slot; "ocr_enhanced"
+    # after an accepted O7 re-OCR), and the page's P8 content type.
     text_lines = [{
         "text": ln["text"],
         "page": p,
         "bbox": tuple(float(v) for v in ln["bbox"]),
         "font_size": float(ln["font_size"]),
         "words": ln["words"],
-        "style": None,
+        "confidence": float(ln["confidence"]),
+        "source": ln.get("source", "ocr"),
+        "content_type": content_type,
+        "style": style_merge.estimate_style_from_bbox(
+            ln["text"], float(ln["bbox"][3]) - float(ln["bbox"][1]),
+            float(ln["bbox"][1]), float(dims[1])),
     } for ln in kept]
     # D3 same-type IoU merge with the reference's exact rule, then table
     # regions appended (one per detected grid)
@@ -500,7 +669,7 @@ def _ocr_page(img, p: int, junk_floor: Optional[float] = None,
     # detected table consumed — a document image that is ONLY a table has
     # empty text_lines but real recognized content, and must not be
     # mistaken for a picture (round-4 review finding)
-    score = glyphs._osd_score([ln for col in columns for ln in col])
+    score = glyphs.osd_score([ln for col in columns for ln in col])
     return {"dims": dims, "text_lines": text_lines, "regions": regions,
             "tables": page_tables, "content_type": content_type,
             "readability": readability,
@@ -516,14 +685,17 @@ def _assemble_from_ocr(url, payload, warc_ts, lang, now, st, file_type,
     page_regions: dict[int, list[dict]] = {}
     tables_rows: list[dict] = []
     page_meta: dict[int, dict] = {}
-    page_dims = (pdf_text.PAGE_W, pdf_text.PAGE_H)
+    # doc-level dims from the FIRST SURVIVING page (round-4 ADVICE: a
+    # corrupt page 1 must not pin the default letter dims onto a real
+    # scan's title cutoff), mirroring how first_meta picks the first
+    # non-None page below; default letter when every page failed
+    page_dims = next((ocr["dims"] for ocr in ocr_pages if ocr),
+                     (pdf_text.PAGE_W, pdf_text.PAGE_H))
     for p, ocr in enumerate(ocr_pages, 1):
         if ocr is None:
             page_text_lines[p] = []
             page_regions[p] = []
             continue
-        if p == 1:
-            page_dims = ocr["dims"]
         page_text_lines[p] = ocr["text_lines"]
         page_regions[p] = ocr["regions"]
         tables_rows.extend(ocr["tables"])
@@ -534,7 +706,11 @@ def _assemble_from_ocr(url, payload, warc_ts, lang, now, st, file_type,
                         # (reference PageMetadata carries width/height per
                         # page, types.py:243-250)
                         "width": ocr["dims"][0],
-                        "height": ocr["dims"][1]}
+                        "height": ocr["dims"][1],
+                        # raster pages carry the reference's PageMetadata
+                        # dpi default (types.py:247) — embedded images keep
+                        # their stored resolution, nothing re-rasterizes
+                        "dpi": 350}
     field_lists = [kie.extract_kv_fields(
         [tl["text"] for tl in page_text_lines[p]],
         confidence=0.85, page_num=p, source="ocr_fallback")
@@ -613,6 +789,12 @@ def _assemble(url, payload, warc_ts, lang, now, st, file_type, page_dims,
             "number": p,
             "metadata": {"width": pm.get("width", page_dims[0]),
                          "height": pm.get("height", page_dims[1]),
+                         # PageMetadata.dpi (types.py:247): raster pages get
+                         # 350 via page_meta; the native-PDF text layer is
+                         # point-space (72/inch); HTML/pictures have no
+                         # defined rendering DPI
+                         "dpi": pm.get("dpi",
+                                       72 if file_type == "pdf" else None),
                          "content_type": pm.get("content_type", file_type),
                          "readability": pm.get("readability", readability),
                          "readability_issues": pm.get("readability_issues",
@@ -638,4 +820,5 @@ def _assemble(url, payload, warc_ts, lang, now, st, file_type, page_dims,
         "validation": validation,
         "raw_text": ex_raw,
         "reconstruction": build_reconstruction(pages, fields),
+        "normalized": build_normalized(fields, tables_rows),
     }

@@ -205,12 +205,18 @@ def max_chars(width: int = 612, margin: int = 36, scale: int = 2) -> int:
     return (width - 2 * margin) // (PITCH * scale)
 
 
-def _osd_score(lines: list[dict]) -> float:
-    """Char-weighted mean template confidence — the OSD quality signal."""
+def osd_score(lines: list[dict]) -> float:
+    """Char-weighted mean template confidence — the OSD quality signal.
+
+    Public: kernel.document scores page acceptance with it (the
+    IMAGE_TEXT_GATE dispatch)."""
     chars = sum(len(ln["text"]) for ln in lines)
     if not chars:
         return 0.0
     return sum(ln["confidence"] * len(ln["text"]) for ln in lines) / chars
+
+
+_osd_score = osd_score  # backward-compat private alias
 
 
 def recognize_with_osd(gray: np.ndarray,

@@ -152,9 +152,11 @@ def _decode_lut(bits: tuple, vals: tuple) -> list:
     for sym, (code, ln) in _build_codes(list(bits), list(vals)).items():
         base = code << (16 - ln)
         lut[base:base + (1 << (16 - ln))] = (sym << 8) | ln
-    # plain-list entries: the entropy loop does one lookup per symbol and a
-    # Python list read is ~3x a numpy scalar read + int() conversion
-    return lut.tolist()
+    # tuple entries: indexing is as fast as a list in the hot loop, and the
+    # lru_cache'd value is shared by every decode in the process — it must
+    # be immutable (a caller mutating a cached list would silently corrupt
+    # huffman decoding for all subsequent JPEGs)
+    return tuple(lut.tolist())
 
 
 class _BitWriter:

@@ -240,14 +240,19 @@ def assess_readability(img: np.ndarray) -> tuple[str, list[str]]:
 # --- P7: pipeline order -----------------------------------------------------------------
 
 
-def preprocess_for_ocr(img: np.ndarray, *, dewarp: bool = False,
+def preprocess_for_ocr(img: np.ndarray, *, dewarp: bool = True,
                        deskew: bool = True,
                        denoise: bool = True, clahe: bool = True,
                        sharpen: bool = True,
                        binarize: bool = False) -> np.ndarray:
     """P7: the fused pipeline in the reference's order
     (enhance.py:368-428: dewarp -> deskew -> denoise -> CLAHE -> sharpen,
-    each flag-gated; dewarp defaults off, as in the reference config)."""
+    each flag-gated; dewarp defaults ON, matching the reference's
+    PreprocessConfig.dewarp = True, config.py:113, passed through by the
+    orchestrator at orchestrator.py:651-661). On full-bleed scans — no
+    page outline against a background — detect_page_quad returns None and
+    dewarp is a no-op, exactly as the reference's contour detector finds
+    no >=30%-area page quadrilateral to correct."""
     out = img
     if dewarp:
         out = perspective_correction(out)
@@ -302,6 +307,27 @@ def detect_page_quad(img: np.ndarray,
             for i in range(4)))
     if area < min_area_ratio * mask.size:
         return None
+    # full-bleed guard: a quad whose corners sit on (or within a sliver of)
+    # the image corners is the page filling the frame — the reference's
+    # contour detector finds no page outline against a background there
+    # (geometry.py:22-78 needs a closed page contour), so dewarp must be a
+    # no-op; warping frame->frame through the resampler would only shift
+    # pixels. Tolerance: 1% of each dimension, min 2px.
+    h, w = gray.shape[:2]
+    tol_x, tol_y = max(2.0, 0.01 * w), max(2.0, 0.01 * h)
+    corners = np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]],
+                       dtype=np.float64)
+    ordered = order_points(quad)
+    if (np.abs(ordered[:, 0] - corners[:, 0]).max() <= tol_x
+            and np.abs(ordered[:, 1] - corners[:, 1]).max() <= tol_y):
+        return None
+    # degenerate quad (near-duplicate corners -> singular homography, e.g.
+    # a gradient picture whose bright-mask extreme points coincide): not a
+    # page outline, nothing to correct
+    for i in range(4):
+        for j in range(i + 1, 4):
+            if np.linalg.norm(ordered[i] - ordered[j]) < 8.0:
+                return None
     return quad
 
 
@@ -337,7 +363,11 @@ def perspective_correction(img: np.ndarray,
                     [max_w - 1 + padding, max_h - 1 + padding],
                     [padding, max_h - 1 + padding]], dtype=np.float64)
     # inverse map: for each output pixel, where in the source?
-    h_inv = _homography(dst, pts)
+    try:
+        h_inv = _homography(dst, pts)
+    except np.linalg.LinAlgError:
+        # degenerate external quad (caller-supplied): nothing to correct
+        return img
     out_h, out_w = max_h + 2 * padding, max_w + 2 * padding
     yy, xx = np.mgrid[0:out_h, 0:out_w].astype(np.float64)
     denom = h_inv[2, 0] * xx + h_inv[2, 1] * yy + h_inv[2, 2]
@@ -345,9 +375,26 @@ def perspective_correction(img: np.ndarray,
     sy = (h_inv[1, 0] * xx + h_inv[1, 1] * yy + h_inv[1, 2]) / denom
     h, w = img.shape[:2]
     inside = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
-    sxc = np.clip(np.rint(sx).astype(int), 0, w - 1)
-    syc = np.clip(np.rint(sy).astype(int), 0, h - 1)
-    sampled = img[syc, sxc]
+    # bilinear sampling (cv2.warpPerspective's INTER_LINEAR default, the
+    # interpolation the reference's geometry.py warp uses) — nearest-neighbor
+    # double-rounding visibly degrades small glyphs on mild warps
+    sxf = np.clip(sx, 0, w - 1)
+    syf = np.clip(sy, 0, h - 1)
+    x0 = np.floor(sxf).astype(int)
+    y0 = np.floor(syf).astype(int)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = (sxf - x0)
+    fy = (syf - y0)
+    if img.ndim == 3:
+        fx, fy = fx[..., None], fy[..., None]
+    a = img[y0, x0].astype(np.float64)
+    b = img[y0, x1].astype(np.float64)
+    c = img[y1, x0].astype(np.float64)
+    d = img[y1, x1].astype(np.float64)
+    sampled = (a * (1 - fx) * (1 - fy) + b * fx * (1 - fy)
+               + c * (1 - fx) * fy + d * fx * fy)
+    sampled = np.clip(np.rint(sampled), 0, 255).astype(img.dtype)
     white = np.full_like(sampled, 255)
     return np.where(inside[..., None] if img.ndim == 3 else inside,
                     sampled, white)

@@ -45,6 +45,47 @@ def _estimated_style(line: dict) -> dict:
     }
 
 
+def estimate_style_from_bbox(text: str, bbox_height: float, y_position: float,
+                             page_height: float,
+                             role: Optional[str] = None) -> dict:
+    """R5 full style estimate (pdf_style_extractor.py:192-258), the rule the
+    orchestrator applies to every OCR line when PDF-native styles are absent
+    (orchestrator.py:606-629, 775-777):
+
+    - font_size = bbox_height * 0.75 clamped to [6, 72], rounded to 1
+    - bold iff ALL-CAPS text or a heading role
+    - role: given role, else 'title' when rel_y < 0.15 and size > 14,
+      'sectionHeading' when size > 14, else 'paragraph'
+    - font: Arial for headings, Times New Roman for body
+    - confidence 0.5 (+0.15 with a role, +0.1 for ALL-CAPS, capped 0.8)
+    """
+    size = round(max(6.0, min(72.0, bbox_height * 0.75)), 1)
+    is_bold = bool(text.isupper() or
+                   (role is not None and
+                    role.lower() in ("title", "sectionheading", "header")))
+    rel_y = y_position / page_height if page_height > 0 else 0.0
+    if role:
+        likely_role = role.lower()
+    elif rel_y < 0.15 and size > 14:
+        likely_role = "title"
+    elif size > 14:
+        likely_role = "sectionheading"
+    else:
+        likely_role = "paragraph"
+    font = ("Arial" if likely_role in ("title", "sectionheading", "header")
+            else "Times New Roman")
+    confidence = 0.5 + (0.15 if role else 0.0) + (0.1 if text.isupper() else 0.0)
+    return {
+        "font_name": font,
+        "font_size": size,
+        "bold": is_bold,
+        "italic": False,
+        "color": "#000000",
+        "source": "estimated",
+        "confidence": min(0.8, confidence),
+    }
+
+
 def match_span(line: dict, pdf_spans: list[dict],
                tolerance: float = 10.0) -> Optional[dict]:
     """Best-matching span for one OCR line, or None (the reference's inner

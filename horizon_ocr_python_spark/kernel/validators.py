@@ -69,7 +69,10 @@ def validate_amount(value: Any) -> dict:
     if parsed is None:
         return {"name": "amount", "passed": False, "message": "Could not parse as amount"}
     if parsed < 0:
-        return {"name": "amount", "passed": False, "message": "Amount is negative"}
+        # the reference's negative branch still carries the parse in details
+        # (validators.py:74-79 details={"parsed_value": parsed})
+        return {"name": "amount", "passed": False, "message": "Amount is negative",
+                "parsed_value": parsed}
     return {"name": "amount", "passed": True, "message": "Valid amount", "parsed_value": parsed}
 
 

@@ -226,6 +226,11 @@ def k4_bio_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = ev.select("event_id", F.col("event_type").alias("word"),
                        F.round(F.col("value") / 500.0, 6).alias("conf"),
                        tag.alias("tag"))
+    # ORACLE-DETERMINISM SHAPE, not the scale shape: a global unpartitioned
+    # window moves all rows to one partition. The production path is the
+    # per-document state machine inside the kernel (kernel/bio.py); at
+    # dataset scale partition this window by a doc key (same caveat as
+    # sessionize.reading_order_sort).
     w = Window.orderBy("event_id")
     runs = (tokens
             .withColumn("is_start",

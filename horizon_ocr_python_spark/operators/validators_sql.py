@@ -405,3 +405,75 @@ SELECT o_orderkey AS orderkey, total, calculated,
 FROM parsed
 ORDER BY orderkey
 """
+
+
+def v9_normalized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-field normalized_value dispatch (types.py:224; kernel
+    document._normalized_value; fixture contract test_markdown.py:131-146)
+    as expressions: date -> ISO via the try-format chain, currency -> V1
+    $-strip/comma parse rendered 2dp, string -> unchanged, failed parse ->
+    NULL. Values synthesized per document to hit every branch, including
+    the EU decimal-comma currency."""
+    docs = table(spark, sf_dir, "documents")
+    code = F.col("doc_id") % 5
+    base_date = F.date_add(F.lit("2024-01-01").cast("date"),
+                           (F.col("doc_id") % 365).cast("int"))
+    us_amt = (F.col("doc_id") % 9000 + 100) / 100.0
+    value = (F.when(code == 0, F.date_format(base_date, "dd/MM/yyyy"))
+             .when(code == 1, F.format_string("$%.2f", us_amt))
+             .when(code == 2, F.concat(F.lit("INV-"),
+                                       F.col("doc_id").cast("string")))
+             .when(code == 3, F.lit("not a date"))
+             .otherwise(F.replace(F.format_string("%.2f", us_amt),
+                                  F.lit("."), F.lit(","))))
+    dtype = (F.when(code == 0, "date").when(code == 1, "currency")
+             .when(code == 2, "string").when(code == 3, "date")
+             .otherwise("currency"))
+    parsed_date = F.coalesce(
+        F.try_to_date(F.col("value"), "yyyy-MM-dd"),
+        F.try_to_date(F.col("value"), "dd/MM/yyyy"))
+    amount = F.replace(F.replace(F.col("value"), F.lit("$"), F.lit("")),
+                       F.lit(","), F.lit(".")).try_cast("double")
+    normalized = (
+        F.when(F.col("data_type") == "date",
+               F.date_format(parsed_date, "yyyy-MM-dd"))
+        .when(F.col("data_type") == "currency",
+              F.when(amount.isNotNull(), F.format_string("%.2f", amount)))
+        .otherwise(F.col("value")))
+    return (docs.select("doc_id", dtype.alias("data_type"),
+                        value.alias("value"))
+            .withColumn("normalized_value", normalized)
+            .orderBy("doc_id"))
+
+
+V9_NORMALIZED_VALUE_SQL = """
+WITH vals AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'date' WHEN 1 THEN 'currency' WHEN 2 THEN 'string'
+      WHEN 3 THEN 'date' ELSE 'currency' END AS data_type,
+    CASE doc_id % 5
+      WHEN 0 THEN strftime(DATE '2024-01-01'
+                           + INTERVAL (doc_id % 365) DAY, '%d/%m/%Y')
+      WHEN 1 THEN printf('$%.2f', (doc_id % 9000 + 100) / 100.0)
+      WHEN 2 THEN 'INV-' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN 'not a date'
+      ELSE replace(printf('%.2f', (doc_id % 9000 + 100) / 100.0), '.', ',')
+    END AS value
+  FROM documents
+), parsed AS (
+  SELECT doc_id, data_type, value,
+         coalesce(try_strptime(value, '%Y-%m-%d'),
+                  try_strptime(value, '%d/%m/%Y')) AS parsed_date,
+         TRY_CAST(replace(replace(value, '$', ''), ',', '.') AS DOUBLE)
+           AS amount
+  FROM vals
+)
+SELECT doc_id, data_type, value,
+       CASE WHEN data_type = 'date' THEN strftime(parsed_date, '%Y-%m-%d')
+            WHEN data_type = 'currency' THEN
+              CASE WHEN amount IS NOT NULL THEN printf('%.2f', amount) END
+            ELSE value END AS normalized_value
+FROM parsed
+ORDER BY doc_id
+"""

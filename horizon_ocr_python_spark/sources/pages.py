@@ -281,6 +281,23 @@ def make_page(i: int, seed: int = 42, n_hosts: int = 50, scale: int = 1) -> dict
         table_rows = "".join(
             f"<tr><td>{k.replace('_', ' ').title()}</td><td>{v}</td></tr>"
             for k, v in expected_fields.items())
+        # line-items table (every 3rd HTML page, index-keyed so the rng
+        # sequence above is untouched): a 4-column invoice grid — the
+        # "table-like content -> normalized.line_items[]" shape
+        # (JSON_SCHEMA.md:360-395). Cells are structured output, never
+        # raw_text, so expected_text is unchanged.
+        items_html = ""
+        if i % 3 == 0:
+            rows = []
+            for k in range(2 + i % 4):
+                qty = (i + 7 * k) % 9 + 1
+                unit = ((i * 13 + k * 101) % 9000 + 100) / 100.0
+                desc = WORDS[(i + k) % len(WORDS)]
+                rows.append(f"<tr><td>{desc}</td><td>{qty}</td>"
+                            f"<td>${unit:.2f}</td><td>${qty * unit:.2f}</td></tr>")
+            items_html = ("<table><tr><th>Item</th><th>Qty</th>"
+                          "<th>Unit Price</th><th>Amount</th></tr>"
+                          + "".join(rows) + "</table>")
         body_paras = "".join(f"<p>{p}</p>" for p in paras)
         kv_html = "".join(f"<p>{kv}</p>" for kv in kv_lines)
         payload = f"""<!DOCTYPE html>
@@ -295,6 +312,7 @@ def make_page(i: int, seed: int = 42, n_hosts: int = 50, scale: int = 1) -> dict
 {body_paras}
 {kv_html}
 <table>{table_rows}</table>
+{items_html}
 </article></main>
 <aside class="sidebar"><h3>Related</h3><ul>{sidebar_items}</ul></aside>
 <footer><p><a href="/about">About</a> | <a href="/privacy">Privacy</a></p>
