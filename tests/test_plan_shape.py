@@ -174,3 +174,34 @@ class TestRound2Plans:
         assert fact_join and cust_join, plan[:1500]
         assert cust_join.start() > fact_join.start(), \
             "customer join is not under the fact join"
+
+
+class TestRound5Plans:
+    """Plan shapes for the round-5 operators: map-side partial aggregation,
+    pruned scans, no nested-loop joins."""
+
+    def test_o9_line_confidence_partial_agg_and_pruning(self, spark):
+        from horizon_ocr_python_spark.operators import curation
+
+        df = curation.o9_line_confidence(spark, SF)
+        plan = plans.physical_plan(df)
+        assert re.search(r"partial_(sum|count|min|avg)", plan), \
+            "no map-side partial aggregation"
+        rs = plans.read_schema_of(df)
+        assert "doc_id" in rs and "text" not in rs and "lang" not in rs
+
+    def test_n1_normalized_split_no_cartesian(self, spark):
+        from horizon_ocr_python_spark.operators import curation
+
+        plan = plans.physical_plan(curation.n1_normalized_split(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert re.search(r"partial_(sum|max)", plan)
+
+    def test_v9_normalized_value_codegen(self, spark):
+        from horizon_ocr_python_spark.operators import validators_sql
+
+        df = validators_sql.v9_normalized_value(spark, SF)
+        assert plans.has_wholestage_codegen(df)
+        rs = plans.read_schema_of(df)
+        assert "text" not in rs and "html" not in rs
