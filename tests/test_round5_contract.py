@@ -345,3 +345,63 @@ class TestP8P9Ordering:
         ocr = document._ocr_page(faded, 1)
         assert "blurry" not in ocr["readability_issues"]
         assert [ln["text"] for ln in ocr["text_lines"]] == WARP_TEXT
+
+
+class TestEngineSurfacesRound5:
+    """The round-5 columns as seen THROUGH the Spark engine (DOCUMENT_SCHEMA),
+    not just the kernel dicts — the training-data curation shape runs over
+    the real extraction output."""
+
+    @pytest.fixture(scope="class")
+    def docs_df(self, spark):
+        from horizon_ocr_python_spark.engine.extract import extract_stage
+        from horizon_ocr_python_spark.engine.pipeline import pages_dataframe
+        df = extract_stage(pages_dataframe(spark, 60, seed=42)).cache()
+        df.count()
+        return df
+
+    def test_line_confidence_curation_filter(self, docs_df):
+        lines = (docs_df.selectExpr("doc_id", "explode(pages) p")
+                 .selectExpr("doc_id", "explode(p.text_lines) tl")
+                 .selectExpr("doc_id", "tl.confidence c", "tl.source s"))
+        ocr = lines.filter("s in ('ocr', 'ocr_enhanced')").collect()
+        assert ocr, "corpus contains raster lines"
+        assert all(r.c is not None and 0.0 < r.c <= 1.0 for r in ocr)
+        html = lines.filter("s = 'html'").limit(5).collect()
+        assert all(r.c == 1.0 for r in html)
+
+    def test_fields_validators_and_normalized_value(self, docs_df):
+        from pyspark.sql import functions as F
+        f = (docs_df.selectExpr("explode(fields) f")
+             .select("f.name", "f.value", "f.normalized_value",
+                     F.size("f.validators").alias("nv"),
+                     "f.validators"))
+        totals = f.filter("name = 'total'").collect()
+        assert totals
+        for r in totals:
+            assert r.nv >= 1  # non_empty always selected
+            assert r.normalized_value is not None
+            assert not r.normalized_value.startswith("$")  # currency parsed
+        dates = f.filter("name = 'date'").limit(5).collect()
+        for r in dates:
+            assert r.normalized_value == r.value  # already ISO in corpus
+
+    def test_normalized_view_round_trip(self, docs_df):
+        from pyspark.sql import functions as F
+        n = docs_df.filter(F.size("normalized.line_items") > 0)
+        row = n.selectExpr("normalized.document_type dt",
+                           "normalized.line_items[0]._evidence.table_id tid",
+                           "normalized.line_items[0].values v",
+                           "normalized.totals t").first()
+        assert row is not None
+        assert row.tid.startswith("table-")
+        assert set(row.v.keys()) == {"item", "qty", "unit_price", "amount"}
+
+    def test_page_dpi_by_path(self, docs_df):
+        pages = (docs_df.selectExpr("file_type", "explode(pages) p")
+                 .selectExpr("file_type", "p.dpi dpi"))
+        by_type = {r.file_type: r.dpi for r in pages.dropDuplicates(
+            ["file_type"]).collect()}
+        assert by_type.get("html") is None
+        if "pdf" in by_type:
+            assert by_type["pdf"] in (72, 350)  # native 72 / scanned 350
