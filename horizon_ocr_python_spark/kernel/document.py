@@ -534,7 +534,7 @@ def _ocr_page(img, p: int, junk_floor: Optional[float] = None,
                     "tables": [], "content_type": "",
                     "readability": readability,
                     "readability_issues": readability_issues,
-                    "score": osd_score}
+                    "score": osd_score, "rotation": rot_k}
     if osd_score == 1.0 and osd_lines:
         # Confidence-gated recomputation (the reference's own pattern —
         # low-conf work is recomputed, high-conf work is not,
@@ -673,7 +673,12 @@ def _ocr_page(img, p: int, junk_floor: Optional[float] = None,
     return {"dims": dims, "text_lines": text_lines, "regions": regions,
             "tables": page_tables, "content_type": content_type,
             "readability": readability,
-            "readability_issues": readability_issues, "score": score}
+            "readability_issues": readability_issues, "score": score,
+            # O10 coarse rotation applied to reach upright (90-degree steps
+            # CCW); carried so the S7 artifacts renderer can re-decode the
+            # stored pixels and reproduce the geometry frame the
+            # bboxes/regions live in
+            "rotation": rot_k}
 
 
 def _assemble_from_ocr(url, payload, warc_ts, lang, now, st, file_type,
@@ -710,7 +715,8 @@ def _assemble_from_ocr(url, payload, warc_ts, lang, now, st, file_type,
                         # raster pages carry the reference's PageMetadata
                         # dpi default (types.py:247) — embedded images keep
                         # their stored resolution, nothing re-rasterizes
-                        "dpi": 350}
+                        "dpi": 350,
+                        "rotation": ocr.get("rotation", 0)}
     field_lists = [kie.extract_kv_fields(
         [tl["text"] for tl in page_text_lines[p]],
         confidence=0.85, page_num=p, source="ocr_fallback")
@@ -796,6 +802,12 @@ def _assemble(url, payload, warc_ts, lang, now, st, file_type, page_dims,
                          "dpi": pm.get("dpi",
                                        72 if file_type == "pdf" else None),
                          "content_type": pm.get("content_type", file_type),
+                         # O10 upright rotation (90-degree CCW steps) the
+                         # raster path applied before recognition; 0 on
+                         # native/HTML pages. The S7 artifacts renderer uses
+                         # it to re-derive the geometry frame from stored
+                         # pixels without re-running OSD.
+                         "rotation": pm.get("rotation", 0),
                          "readability": pm.get("readability", readability),
                          "readability_issues": pm.get("readability_issues",
                                                       readability_issues)},

@@ -205,3 +205,25 @@ class TestRound5Plans:
         assert plans.has_wholestage_codegen(df)
         rs = plans.read_schema_of(df)
         assert "text" not in rs and "html" not in rs
+
+
+class TestArtifactsStagePlan:
+    """S7 sampled artifacts: the url-hash gate must run JVM-side BELOW the
+    Arrow exchange (payloads of unsampled rows never reach Python), and the
+    stage ships only (url, html, lang)."""
+
+    def test_sample_filter_below_python_eval(self, spark):
+        from horizon_ocr_python_spark.engine.artifacts import artifacts_stage
+        from horizon_ocr_python_spark.engine.pipeline import pages_dataframe
+
+        df = artifacts_stage(pages_dataframe(spark, 50, seed=42), every_n=10)
+        plan = plans.physical_plan(df)
+        py = re.search(r"MapInPandas|ArrowEvalPython", plan)
+        flt = re.search(r"Filter .*xxhash64", plan)
+        assert py and flt, plan[:1500]
+        # explain prints parents first: the Python eval must be ABOVE
+        # (printed before) the filter feeding it
+        assert py.start() < flt.start(), "hash gate runs after the Arrow eval"
+        proj = re.search(r"Project \[[^\]]*\]", plan)
+        assert proj and "warc_ts" not in proj.group(0), \
+            "unneeded columns shipped to the artifacts stage"
