@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from horizon_ocr_python_spark.operators import (
     arrow_ops,
     compose,
+    azure_ops,
     curation,
     dedup,
     extras,
@@ -93,6 +94,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v9_normalized_value": validators_sql.v9_normalized_value,
         "o9_line_confidence": curation.o9_line_confidence,
         "n1_normalized_split": curation.n1_normalized_split,
+        # C5/R7 Azure response-mapping rules (local, no cloud)
+        "c5_azure_line_map": azure_ops.c5_azure_line_map,
+        "r7_azure_styles": azure_ops.r7_azure_styles,
         # window/sessionization (D13/O7/R1 dataset forms)
         "d13_gap_sessionize": sessionize.gap_sessionize,
         "o7_worst_k": sessionize.worst_k,
@@ -207,6 +211,8 @@ def oracle_sql() -> dict[str, str]:
         "v9_normalized_value": validators_sql.V9_NORMALIZED_VALUE_SQL,
         "o9_line_confidence": curation.O9_LINE_CONFIDENCE_SQL,
         "n1_normalized_split": curation.N1_NORMALIZED_SPLIT_SQL,
+        "c5_azure_line_map": azure_ops.C5_AZURE_LINE_MAP_SQL,
+        "r7_azure_styles": azure_ops.R7_AZURE_STYLES_SQL,
         # s6_markdown_render intentionally has no oracle (rows-only check)
         "o6_conf_reroute": extras.O6_CONF_REROUTE_SQL,
         "d8_interval_merge": extras.D8_INTERVAL_MERGE_SQL,
