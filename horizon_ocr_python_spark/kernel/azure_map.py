@@ -39,6 +39,23 @@ HEADER_KINDS = ("columnheader", "rowheader", "stubhead")
 SOURCE = "azure_doc_intelligence"
 
 
+def _int(v, default: int = 0) -> int:
+    """Tolerant int for recorded-JSON fields: null/absent/garbage ->
+    default (recorded responses are data, not SDK-typed objects — a
+    malformed field must not kill a 100 TB mapping job)."""
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return default
+
+
+def _float(v, default: float = 0.0) -> float:
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return default
+
+
 def _scale(page_w: float, page_h: float, target_w: Optional[float],
            target_h: Optional[float]) -> tuple[float, float]:
     """Azure-unit-space -> pixel-space scale factors
@@ -72,7 +89,7 @@ def bbox_from_regions(regions: Optional[list], sx: float = 1.0,
 
 
 def _clamp01(v: float) -> float:
-    return min(max(float(v), 0.0), 1.0)
+    return min(max(_float(v), 0.0), 1.0)
 
 
 def map_azure_lines(azure_page: Optional[dict],
@@ -90,10 +107,10 @@ def map_azure_lines(azure_page: Optional[dict],
     """
     if azure_page is None:
         return []
-    page_w = float(azure_page.get("width") or 0.0)
-    page_h = float(azure_page.get("height") or 0.0)
+    page_w = _float(azure_page.get("width"))
+    page_h = _float(azure_page.get("height"))
     sx, sy = _scale(page_w, page_h, target_w, target_h)
-    page_num = int(azure_page.get("pageNumber", 1))
+    page_num = _int(azure_page.get("pageNumber"), 1)
     words = azure_page.get("words") or []
 
     out = []
@@ -103,11 +120,11 @@ def map_azure_lines(azure_page: Optional[dict],
         spans = line.get("spans") or []
         matched = []
         if spans:
-            start = int(spans[0].get("offset", 0))
-            end = start + int(spans[0].get("length", 0))
+            start = _int(spans[0].get("offset"))
+            end = start + _int(spans[0].get("length"))
             for w in words:
                 span = w.get("span")
-                if span and start <= int(span.get("offset", -1)) < end:
+                if span and start <= _int(span.get("offset"), -1) < end:
                     wbox = bbox_from_polygon(w.get("polygon"), sx, sy) \
                         or (0.0, 0.0, 1.0, 1.0)
                     matched.append({
@@ -146,10 +163,10 @@ def map_azure_tables(azure_tables: Optional[list], page_num: int,
         cells = []
         for ac in at.get("cells") or []:
             cells.append({
-                "row": int(ac.get("rowIndex", 0)),
-                "col": int(ac.get("columnIndex", 0)),
-                "row_span": int(ac.get("rowSpan") or 1),
-                "col_span": int(ac.get("columnSpan") or 1),
+                "row": _int(ac.get("rowIndex")),
+                "col": _int(ac.get("columnIndex")),
+                "row_span": _int(ac.get("rowSpan"), 1) or 1,
+                "col_span": _int(ac.get("columnSpan"), 1) or 1,
                 "text": ac.get("content") or "",
                 "bbox": bbox_from_regions(ac.get("boundingRegions"), sx, sy),
                 "confidence": 0.95,
@@ -157,8 +174,8 @@ def map_azure_tables(azure_tables: Optional[list], page_num: int,
                 "is_header": str(ac.get("kind") or "").lower() in HEADER_KINDS,
                 "page": page_num,
             })
-        n_rows = int(at.get("rowCount") or 0)
-        n_cols = int(at.get("columnCount") or 0)
+        n_rows = _int(at.get("rowCount"))
+        n_cols = _int(at.get("columnCount"))
         rows: list[list[str]] = [[""] * n_cols for _ in range(n_rows)]
         for c in cells:
             if 0 <= c["row"] < n_rows and 0 <= c["col"] < n_cols:
@@ -198,7 +215,7 @@ def _for_page(items: Optional[list], page_num: int) -> list:
     """Items whose boundingRegions mention the page
     (doc_intelligence.py:630-658)."""
     return [it for it in items or []
-            if any(int(r.get("pageNumber", 0)) == page_num
+            if any(_int(r.get("pageNumber")) == page_num
                    for r in it.get("boundingRegions") or [])]
 
 
@@ -211,10 +228,10 @@ def map_azure_response(result: dict,
     pixel space via ``target_dims[page_number] = (w, h)``."""
     pages = []
     for ap in result.get("pages") or []:
-        page_num = int(ap.get("pageNumber", 1))
+        page_num = _int(ap.get("pageNumber"), 1)
         tw, th = (target_dims or {}).get(page_num, (None, None))
-        pw = float(ap.get("width") or 0.0)
-        ph = float(ap.get("height") or 0.0)
+        pw = _float(ap.get("width"))
+        ph = _float(ap.get("height"))
         pages.append({
             "number": page_num,
             "width": tw if tw else pw,
@@ -249,8 +266,8 @@ def apply_azure_styles(text_lines: list[dict], azure_styles: list[dict],
     style_map: dict[int, dict] = {}
     for style in azure_styles or []:
         for span in style.get("spans") or []:
-            offset = int(span.get("offset", 0))
-            for i in range(offset, offset + int(span.get("length", 0))):
+            offset = _int(span.get("offset"))
+            for i in range(offset, offset + _int(span.get("length"))):
                 style_map[i] = style
 
     current = 0
@@ -275,7 +292,7 @@ def apply_azure_styles(text_lines: list[dict], azure_styles: list[dict],
                     is_hand = True
             current = pos + len(text)
         bbox = line.get("bbox")
-        height = (float(bbox[3]) - float(bbox[1])) if bbox else 0.0
+        height = (_float(bbox[3]) - _float(bbox[1])) if bbox else 0.0
         size = max(6.0, min(72.0, height * 0.75)) if height > 0 else 11.0
         detected = is_bold or is_italic
         line["style"] = {
