@@ -140,6 +140,12 @@ def _table_row(t: dict) -> dict:
                                 default=0))),
     }
 
+# public aliases for sibling stages (engine/azure_stage.py reuses the same
+# row shapes; no cross-module private use)
+bbox_row = _bbox_dict
+table_row = _table_row
+
+
 def _reconstruction_row(rec: dict | None) -> dict | None:
     if not rec:
         return None

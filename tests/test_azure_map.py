@@ -167,3 +167,51 @@ class TestAzureStyles:
         out = azure_map.apply_azure_styles(
             [{"text": "x", "bbox": None}], [], "x")
         assert out[0]["style"]["font_size"] == 11.0  # :329 default
+
+
+class TestRecordedResponseStage:
+    """engine/azure_stage.map_recorded_responses: the replay of cached
+    responses as a DataFrame job, with per-row containment."""
+
+    def test_map_and_contain(self, spark):
+        import json
+
+        from horizon_ocr_python_spark.engine.azure_stage import (
+            map_recorded_responses)
+
+        good = {"pages": [
+            {"pageNumber": 1, "width": 8.5, "height": 11.0, "unit": "inch",
+             "lines": [{"content": "Hello", "polygon": [1, 1, 3, 1, 3, 2, 1, 2],
+                        "spans": [{"offset": 0, "length": 5}]}],
+             "words": [{"content": "Hello", "polygon": None,
+                        "span": {"offset": 0, "length": 5},
+                        "confidence": 0.8}]},
+            {"pageNumber": 2, "width": 8.5, "height": 11.0, "unit": "inch",
+             "lines": [], "words": []},
+        ], "tables": [], "paragraphs": [
+            {"role": "title", "content": "T",
+             "boundingRegions": [{"pageNumber": 1,
+                                  "polygon": [0, 0, 4, 0, 4, 1, 0, 1]}]}]}
+        df = spark.createDataFrame(
+            [("https://x/a", json.dumps(good)),
+             ("https://x/bad", "{not json")],
+            ["url", "response"])
+        out = map_recorded_responses(df).collect()
+        ok = sorted((r for r in out if r.status == "ok"),
+                    key=lambda r: r.number)
+        assert [r.number for r in ok] == [1, 2]
+        assert ok[0].text_lines[0].confidence == 0.8
+        assert ok[0].text_lines[0].source == "azure_doc_intelligence"
+        assert ok[0].layout_regions[0].type == "title"
+        assert ok[0].raw_text == "Hello"
+        bad = [r for r in out if r.status == "error"]
+        assert len(bad) == 1 and bad[0].url == "https://x/bad"
+        assert "JSONDecodeError" in bad[0].error
+
+    def test_no_shuffle_plan(self, spark):
+        from horizon_ocr_python_spark import plans
+        from horizon_ocr_python_spark.engine.azure_stage import (
+            map_recorded_responses)
+
+        df = spark.createDataFrame([("u", "{}")], ["url", "response"])
+        assert plans.n_exchanges(map_recorded_responses(df)) == 0
