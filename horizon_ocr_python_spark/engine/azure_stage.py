@@ -84,7 +84,8 @@ def _page_rows(url: str, response_json: str) -> list[dict]:
             "number": int(p.get("number", 1)),
             "width": float(p.get("width") or 0.0),
             "height": float(p.get("height") or 0.0),
-            "unit": p.get("unit"),
+            "unit": (str(p["unit"]) if p.get("unit") is not None
+                     else None),
             "text_lines": [_line_row(tl) for tl in lines],
             "layout_regions": [{
                 "type": r.get("type"), "index": None,

@@ -56,6 +56,12 @@ def _float(v, default: float = 0.0) -> float:
         return default
 
 
+def _str(v) -> str:
+    """Tolerant text field: null -> "", non-string JSON values stringified
+    (they must not poison a downstream Arrow string column)."""
+    return "" if v is None else str(v)
+
+
 def _scale(page_w: float, page_h: float, target_w: Optional[float],
            target_h: Optional[float]) -> tuple[float, float]:
     """Azure-unit-space -> pixel-space scale factors
@@ -128,7 +134,7 @@ def map_azure_lines(azure_page: Optional[dict],
                     wbox = bbox_from_polygon(w.get("polygon"), sx, sy) \
                         or (0.0, 0.0, 1.0, 1.0)
                     matched.append({
-                        "text": w.get("content") or "",
+                        "text": _str(w.get("content")),
                         "bbox": wbox,
                         "confidence": _clamp01(w.get("confidence") or 0.0),
                         "source": SOURCE,
@@ -136,7 +142,7 @@ def map_azure_lines(azure_page: Optional[dict],
                     })
         confs = [w["confidence"] for w in matched] if matched else [0.9]
         out.append({
-            "text": line.get("content") or "",
+            "text": _str(line.get("content")),
             "page": page_num,
             "bbox": bbox,
             "font_size": None,
@@ -167,15 +173,24 @@ def map_azure_tables(azure_tables: Optional[list], page_num: int,
                 "col": _int(ac.get("columnIndex")),
                 "row_span": _int(ac.get("rowSpan"), 1) or 1,
                 "col_span": _int(ac.get("columnSpan"), 1) or 1,
-                "text": ac.get("content") or "",
+                "text": _str(ac.get("content")),
                 "bbox": bbox_from_regions(ac.get("boundingRegions"), sx, sy),
                 "confidence": 0.95,
                 "source": SOURCE,
                 "is_header": str(ac.get("kind") or "").lower() in HEADER_KINDS,
                 "page": page_num,
             })
-        n_rows = _int(at.get("rowCount"))
-        n_cols = _int(at.get("columnCount"))
+        n_rows = max(0, _int(at.get("rowCount")))
+        n_cols = max(0, _int(at.get("columnCount")))
+        if n_rows * n_cols > 1_000_000:
+            # corrupt declared dims must not allocate an absurd grid:
+            # degrade to the observed-cell envelope, hard-capped (Azure's
+            # real tables are orders of magnitude below either bound)
+            n_rows = min(n_rows,
+                         max((c["row"] for c in cells), default=-1) + 1,
+                         10_000)
+            n_cols = min(n_cols,
+                         max((c["col"] for c in cells), default=-1) + 1, 100)
         rows: list[list[str]] = [[""] * n_cols for _ in range(n_rows)]
         for c in cells:
             if 0 <= c["row"] < n_rows and 0 <= c["col"] < n_cols:
@@ -206,7 +221,7 @@ def map_azure_paragraphs(paragraphs: Optional[list], page_num: int,
             "bbox": bbox_from_regions(para.get("boundingRegions"), sx, sy),
             "page": page_num,
             "confidence": 0.95,
-            "text": para.get("content") or "",
+            "text": _str(para.get("content")),
         })
     return out
 

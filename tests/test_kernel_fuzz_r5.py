@@ -24,15 +24,17 @@ _poly = st.one_of(st.none(), st.lists(st.floats(0, 100, allow_nan=False),
                                       max_size=10))
 _span = st.fixed_dictionaries({}, optional={"offset": _num, "length": _num})
 _text = st.text(max_size=12)
+# content fields in recorded JSON can carry non-string junk
+_content = st.one_of(st.none(), _text, st.integers(-9, 9))
 
 _word = st.fixed_dictionaries({}, optional={
-    "content": st.one_of(st.none(), _text),
+    "content": _content,
     "polygon": _poly,
     "span": st.one_of(st.none(), _span),
     "confidence": _num,
 })
 _line = st.fixed_dictionaries({}, optional={
-    "content": st.one_of(st.none(), _text),
+    "content": _content,
     "polygon": _poly,
     "spans": st.one_of(st.none(), st.lists(_span, max_size=2)),
 })
@@ -47,7 +49,7 @@ _page = st.fixed_dictionaries({}, optional={
 _cell = st.fixed_dictionaries({}, optional={
     "rowIndex": _num, "columnIndex": _num, "rowSpan": _num,
     "columnSpan": _num, "kind": st.one_of(st.none(), _text),
-    "content": st.one_of(st.none(), _text),
+    "content": _content,
     "boundingRegions": st.one_of(st.none(), st.lists(_region, max_size=2)),
 })
 _table = st.fixed_dictionaries({}, optional={
@@ -57,7 +59,7 @@ _table = st.fixed_dictionaries({}, optional={
 })
 _para = st.fixed_dictionaries({}, optional={
     "role": st.one_of(st.none(), _text, st.just("sectionHeading")),
-    "content": st.one_of(st.none(), _text),
+    "content": _content,
     "boundingRegions": st.one_of(st.none(), st.lists(_region, max_size=2)),
 })
 _style = st.fixed_dictionaries({}, optional={
