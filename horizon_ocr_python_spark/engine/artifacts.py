@@ -104,7 +104,10 @@ def export_artifacts_local(artifacts: DataFrame, out_dir: str,
         if row.kind == "summary":
             name = "summary.html"
         elif row.kind == "error":
-            name = "error.txt"
+            # error rows share the _errors dir (no doc_id): key the file by
+            # url hash so multiple failed docs don't overwrite each other
+            import hashlib
+            name = f"error_{hashlib.md5(row.url.encode()).hexdigest()[:12]}.txt"
         else:
             name = f"page_{row.page:03d}_{row.kind}.png"
         with open(os.path.join(doc_dir, name), "wb") as fh:

@@ -56,7 +56,21 @@ def _line_row(tl: dict) -> dict:
             "source": w.get("source"),
             "content_type": w.get("content_type"),
         } for w in tl.get("words", [])],
-        "style": None,  # R7 styles apply downstream when styles[] is carried
+        # R7 styles (applied by the kernel when the response carries
+        # styles[] + content) project onto STYLE_SCHEMA; the `handwritten`
+        # flag has no schema slot — a recorded documented deviation (the
+        # engine's TextStyle mirrors types.py:118-126, which has no
+        # handwritten field either; Azure's flag lives only in styles[])
+        "style": ({
+            "font_name": st.get("font_name"),
+            "font_size": (float(st["font_size"])
+                          if st.get("font_size") is not None else None),
+            "bold": bool(st.get("bold", False)),
+            "italic": bool(st.get("italic", False)),
+            "color": st.get("color"),
+            "source": st.get("source"),
+            "confidence": float(st.get("confidence", 0.5)),
+        } if (st := tl.get("style")) else None),
     }
 
 

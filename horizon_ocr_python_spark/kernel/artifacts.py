@@ -353,37 +353,50 @@ def _page_pixels(doc: dict, payload: bytes) -> dict[int, np.ndarray]:
     using the rotation recorded at extraction time (no OSD re-run).
 
     Raster paths (scanned PDFs / standalone images) decode the stored
-    pixels; native-PDF pages get a white canvas at page size (their text
-    layer has exact geometry but no raster — the reference rasterizes every
-    PDF via pdf2image, which this engine deliberately does not; overlay
-    geometry is what the artifact is for). HTML pages carry no geometry ->
-    no entry -> no overlays, summary only."""
-    from . import multimodal, pdf_text
+    pixels, re-apply the recorded rotation, and — when the page's geometry
+    lives in the P-stage frame (metadata.preprocessed, set on the
+    score<1.0 slow path where dewarp/deskew may RESIZE the working frame)
+    — re-run the deterministic preprocess chain so overlay rectangles land
+    where recognition actually saw them. Native-PDF pages get a white
+    canvas at page size (their text layer has exact geometry but no raster
+    — the reference rasterizes every PDF via pdf2image, which this engine
+    deliberately does not; overlay geometry is what the artifact is for).
+    HTML pages carry no geometry -> no entry -> no overlays, summary
+    only."""
+    from . import multimodal, pdf_text, preprocess
+
+    def _upright_frame(img: np.ndarray, meta: dict) -> np.ndarray:
+        rot = int(meta.get("rotation", 0))
+        if rot:
+            img = np.ascontiguousarray(np.rot90(img, rot))
+        if meta.get("preprocessed"):
+            # same call, same defaults as kernel.document._ocr_page's slow
+            # path — deterministic, so the frame reproduces exactly
+            img = preprocess.preprocess_for_ocr(img)
+        return img
 
     file_type = (doc.get("metadata") or {}).get("file_type", "")
     pages = doc.get("pages") or []
+    # scanned = ANY page carries the raster dpi: a corrupt (contained)
+    # page 1 falls back to default metadata and must not reroute the
+    # surviving scan pages onto white canvases
+    scanned = any((p.get("metadata") or {}).get("dpi") == 350
+                  for p in pages)
     out: dict[int, np.ndarray] = {}
-    if file_type == "image" and pages:
-        meta = pages[0].get("metadata") or {}
-        if meta.get("dpi") == 350:  # raster path accepted the scan
-            img = multimodal.decode_image(payload)
-            if img.ndim == 3:  # decode_image returns BGR; overlays are RGB
-                img = img[..., ::-1]
-            rot = int(meta.get("rotation", 0))
-            if rot:
-                img = np.ascontiguousarray(np.rot90(img, rot))
-            out[1] = img
+    if file_type == "image" and pages and scanned:
+        img = multimodal.decode_image(payload)
+        if img.ndim == 3:  # decode_image returns BGR; overlays are RGB
+            img = img[..., ::-1]
+        out[1] = _upright_frame(img, pages[0].get("metadata") or {})
     elif file_type == "pdf" and pages:
-        scanned = (pages[0].get("metadata") or {}).get("dpi") == 350
         if scanned:
             for p, img in enumerate(pdf_text.extract_pdf_images(payload), 1):
                 if img is None or p > len(pages):
                     continue
                 meta = pages[p - 1].get("metadata") or {}
-                rot = int(meta.get("rotation", 0))
-                if rot:
-                    img = np.ascontiguousarray(np.rot90(img, rot))
-                out[p] = img
+                if meta.get("dpi") != 350:
+                    continue  # this page's OCR failed; no geometry frame
+                out[p] = _upright_frame(img, meta)
         else:
             for page in pages:
                 meta = page.get("metadata") or {}

@@ -76,10 +76,10 @@ def bbox_from_polygon(flat: Optional[list], sx: float = 1.0,
                       sy: float = 1.0) -> Optional[tuple]:
     """Envelope bbox of Azure's flat [x1,y1,x2,y2,...] polygon
     (doc_intelligence.py:567-592 polygon + :421 poly.bounding_box)."""
-    if not flat or len(flat) < 4:
+    if not isinstance(flat, (list, tuple)) or len(flat) < 4:
         return None
-    xs = [flat[i] * sx for i in range(0, len(flat) - 1, 2)]
-    ys = [flat[i] * sy for i in range(1, len(flat), 2)]
+    xs = [_float(flat[i]) * sx for i in range(0, len(flat) - 1, 2)]
+    ys = [_float(flat[i]) * sy for i in range(1, len(flat), 2)]
     return (min(xs), min(ys), max(xs), max(ys))
 
 
@@ -87,11 +87,19 @@ def bbox_from_regions(regions: Optional[list], sx: float = 1.0,
                       sy: float = 1.0) -> tuple:
     """First bounding region's polygon envelope, unit default
     (doc_intelligence.py:594-628: missing/short polygon -> (0,0,1,1))."""
+    regions = _dicts(regions)
     if not regions:
         return (0.0, 0.0, 1.0, 1.0)
-    poly = (regions[0] or {}).get("polygon")
-    box = bbox_from_polygon(poly, sx, sy)
+    box = bbox_from_polygon(regions[0].get("polygon"), sx, sy)
     return box if box is not None else (0.0, 0.0, 1.0, 1.0)
+
+
+def _dicts(items) -> list:
+    """Dict elements of a recorded-JSON array (null/str/junk elements are
+    data to skip, not a reason to kill the document)."""
+    if not isinstance(items, (list, tuple)):
+        return []
+    return [it for it in items if isinstance(it, dict)]
 
 
 def _clamp01(v: float) -> float:
@@ -117,20 +125,21 @@ def map_azure_lines(azure_page: Optional[dict],
     page_h = _float(azure_page.get("height"))
     sx, sy = _scale(page_w, page_h, target_w, target_h)
     page_num = _int(azure_page.get("pageNumber"), 1)
-    words = azure_page.get("words") or []
+    words = _dicts(azure_page.get("words"))
 
     out = []
-    for line in azure_page.get("lines") or []:
+    for line in _dicts(azure_page.get("lines")):
         bbox = bbox_from_polygon(line.get("polygon"), sx, sy) \
             or (0.0, 0.0, 1.0, 1.0)
-        spans = line.get("spans") or []
+        spans = _dicts(line.get("spans"))
         matched = []
         if spans:
             start = _int(spans[0].get("offset"))
             end = start + _int(spans[0].get("length"))
             for w in words:
                 span = w.get("span")
-                if span and start <= _int(span.get("offset"), -1) < end:
+                if (isinstance(span, dict)
+                        and start <= _int(span.get("offset"), -1) < end):
                     wbox = bbox_from_polygon(w.get("polygon"), sx, sy) \
                         or (0.0, 0.0, 1.0, 1.0)
                     matched.append({
@@ -165,9 +174,9 @@ def map_azure_tables(azure_tables: Optional[list], page_num: int,
     fixed confidence 0.95 (Azure gives no per-cell confidence)."""
     sx, sy = _scale(page_w, page_h, target_w, target_h)
     out = []
-    for at in azure_tables or []:
+    for at in _dicts(azure_tables):
         cells = []
-        for ac in at.get("cells") or []:
+        for ac in _dicts(at.get("cells")):
             cells.append({
                 "row": _int(ac.get("rowIndex")),
                 "col": _int(ac.get("columnIndex")),
@@ -214,7 +223,7 @@ def map_azure_paragraphs(paragraphs: Optional[list], page_num: int,
     fixed confidence 0.95."""
     sx, sy = _scale(page_w, page_h, target_w, target_h)
     out = []
-    for para in paragraphs or []:
+    for para in _dicts(paragraphs):
         role = str(para.get("role") or "").strip()
         out.append({
             "type": ROLE_MAP.get(role, "text"),
@@ -229,9 +238,9 @@ def map_azure_paragraphs(paragraphs: Optional[list], page_num: int,
 def _for_page(items: Optional[list], page_num: int) -> list:
     """Items whose boundingRegions mention the page
     (doc_intelligence.py:630-658)."""
-    return [it for it in items or []
+    return [it for it in _dicts(items)
             if any(_int(r.get("pageNumber")) == page_num
-                   for r in it.get("boundingRegions") or [])]
+                   for r in _dicts(it.get("boundingRegions")))]
 
 
 def map_azure_response(result: dict,
@@ -242,7 +251,7 @@ def map_azure_response(result: dict,
     layout regions filtered per page, coordinates optionally rescaled into
     pixel space via ``target_dims[page_number] = (w, h)``."""
     pages = []
-    for ap in result.get("pages") or []:
+    for ap in _dicts(result.get("pages")):
         page_num = _int(ap.get("pageNumber"), 1)
         tw, th = (target_dims or {}).get(page_num, (None, None))
         pw = _float(ap.get("width"))
@@ -260,6 +269,16 @@ def map_azure_response(result: dict,
                 _for_page(result.get("paragraphs"), page_num), page_num,
                 tw, th, pw, ph),
         })
+    # R7: when the recorded response carries document-level styles[] and
+    # the full `content` string, apply the offset-interval style map over
+    # ALL pages' lines in one pass (one forward cursor across the document,
+    # the reference's traversal order — per-page restarts would mis-locate
+    # duplicate line texts across pages)
+    styles = _dicts(result.get("styles"))
+    full_text = result.get("content")
+    if styles and isinstance(full_text, str) and full_text:
+        apply_azure_styles([tl for p in pages for tl in p["text_lines"]],
+                           styles, full_text)
     return pages
 
 
@@ -279,10 +298,15 @@ def apply_azure_styles(text_lines: list[dict], azure_styles: list[dict],
       confidence 0.85 / 0.6 respectively
     """
     style_map: dict[int, dict] = {}
-    for style in azure_styles or []:
-        for span in style.get("spans") or []:
-            offset = _int(span.get("offset"))
-            for i in range(offset, offset + _int(span.get("length"))):
+    # spans are only meaningful inside full_text: clamping the interval to
+    # [0, len(full_text)) both matches the lookup domain and stops a
+    # corrupt recorded `length` from allocating an unbounded char map
+    limit = len(full_text)
+    for style in _dicts(azure_styles):
+        for span in _dicts(style.get("spans")):
+            offset = max(0, _int(span.get("offset")))
+            end = min(offset + _int(span.get("length")), limit)
+            for i in range(offset, end):
                 style_map[i] = style
 
     current = 0

@@ -534,7 +534,8 @@ def _ocr_page(img, p: int, junk_floor: Optional[float] = None,
                     "tables": [], "content_type": "",
                     "readability": readability,
                     "readability_issues": readability_issues,
-                    "score": osd_score, "rotation": rot_k}
+                    "score": osd_score, "rotation": rot_k,
+                    "preprocessed": False}
     if osd_score == 1.0 and osd_lines:
         # Confidence-gated recomputation (the reference's own pattern —
         # low-conf work is recomputed, high-conf work is not,
@@ -553,7 +554,9 @@ def _ocr_page(img, p: int, junk_floor: Optional[float] = None,
         lines = osd_lines
         readability, readability_issues = preprocess.assess_readability(img)
         content_type, _ct_conf = preprocess.detect_content_type(img)
+        was_preprocessed = False
     else:
+        was_preprocessed = True
         pre = preprocess.preprocess_for_ocr(img)
         gray = preprocess.to_gray(pre) if pre.ndim == 3 else pre
         # P9 readability + P8 content-type on the PREPROCESSED pixels —
@@ -675,10 +678,12 @@ def _ocr_page(img, p: int, junk_floor: Optional[float] = None,
             "readability": readability,
             "readability_issues": readability_issues, "score": score,
             # O10 coarse rotation applied to reach upright (90-degree steps
-            # CCW); carried so the S7 artifacts renderer can re-decode the
-            # stored pixels and reproduce the geometry frame the
-            # bboxes/regions live in
-            "rotation": rot_k}
+            # CCW) and whether the P-stage chain ran — carried so the S7
+            # artifacts renderer can re-decode the stored pixels and
+            # reproduce the geometry frame the bboxes/regions live in
+            # (slow-path bboxes are in the PREPROCESSED frame, which
+            # dewarp/deskew may have resized)
+            "rotation": rot_k, "preprocessed": was_preprocessed}
 
 
 def _assemble_from_ocr(url, payload, warc_ts, lang, now, st, file_type,
@@ -716,7 +721,8 @@ def _assemble_from_ocr(url, payload, warc_ts, lang, now, st, file_type,
                         # dpi default (types.py:247) — embedded images keep
                         # their stored resolution, nothing re-rasterizes
                         "dpi": 350,
-                        "rotation": ocr.get("rotation", 0)}
+                        "rotation": ocr.get("rotation", 0),
+                        "preprocessed": ocr.get("preprocessed", False)}
     field_lists = [kie.extract_kv_fields(
         [tl["text"] for tl in page_text_lines[p]],
         confidence=0.85, page_num=p, source="ocr_fallback")
@@ -804,10 +810,13 @@ def _assemble(url, payload, warc_ts, lang, now, st, file_type, page_dims,
                          "content_type": pm.get("content_type", file_type),
                          # O10 upright rotation (90-degree CCW steps) the
                          # raster path applied before recognition; 0 on
-                         # native/HTML pages. The S7 artifacts renderer uses
-                         # it to re-derive the geometry frame from stored
-                         # pixels without re-running OSD.
+                         # native/HTML pages. `preprocessed` marks pages
+                         # whose geometry lives in the P-stage frame. The
+                         # S7 artifacts renderer uses both to re-derive the
+                         # geometry frame from stored pixels without
+                         # re-running OSD.
                          "rotation": pm.get("rotation", 0),
+                         "preprocessed": pm.get("preprocessed", False),
                          "readability": pm.get("readability", readability),
                          "readability_issues": pm.get("readability_issues",
                                                       readability_issues)},

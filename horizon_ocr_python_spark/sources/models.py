@@ -181,12 +181,16 @@ def load_model(name: str, loader: Callable[[str], object],
     Python worker pays ``loader(path)``; every later task gets the cached
     object (spark.python.worker.reuse keeps workers alive across tasks).
     ``loader`` is injected because the weight formats need torch — absent
-    here, the boundary documented in _default_fetch."""
-    if name in _WORKER_CACHE:
-        return _WORKER_CACHE[name]
+    here, the boundary documented in _default_fetch. The cache keys on the
+    RESOLVED path, not just the name — two roots must not serve each
+    other's weights."""
     info = next((m for m in MODELS if m["name"] == name), None)
     if info is None:
         raise KeyError(f"unknown model {name!r}")
-    obj = loader(model_path(info["local_path"], root))
-    _WORKER_CACHE[name] = obj
+    path = model_path(info["local_path"], root)
+    key = f"{name}@{path}"
+    if key in _WORKER_CACHE:
+        return _WORKER_CACHE[key]
+    obj = loader(path)
+    _WORKER_CACHE[key] = obj
     return obj

@@ -192,3 +192,80 @@ class TestArtifactsStage:
         assert len(doc_dirs) == 1
         names = {p.name for p in doc_dirs[0].iterdir()}
         assert "summary.html" in names
+
+
+class TestReviewFindings:
+    """Regressions for the round-5 review findings."""
+
+    def test_slow_path_overlay_uses_preprocessed_frame(self):
+        # a faded scan (ink 132 on bg 176) scores < 1.0 -> the P-stage
+        # chain runs and the line bboxes live in the preprocessed frame;
+        # the overlay must be drawn on that frame, not the raw pixels
+        from horizon_ocr_python_spark.kernel import document, preprocess
+
+        page = glyphs.render_page(SPEC)
+        faded = (132 + page * (44.0 / 255)).astype(np.uint8)
+        pdf = pdf_text.build_scanned_pdf([faded])
+        doc = document.extract_document("https://x/faded.pdf", pdf)
+        meta = doc["pages"][0]["metadata"]
+        assert meta["preprocessed"] is True  # precondition: slow path ran
+        line = doc["pages"][0]["text_lines"][0]
+        rows = artifacts.document_artifacts("https://x/faded.pdf", pdf)
+        ocr = _decode(next(r for r in rows if r["kind"] == "ocr")["payload"])
+        # frame dims equal the preprocessed frame, and the box lands on
+        # the line's bbox in that frame
+        (img,) = pdf_text.extract_pdf_images(pdf)
+        pre = preprocess.preprocess_for_ocr(img)
+        assert ocr.shape[:2] == pre.shape[:2]
+        x1, y1 = int(line["bbox"][0]), int(line["bbox"][1])
+        assert tuple(ocr[y1, x1 + 2]) == \
+            artifacts.confidence_to_color(line["confidence"])
+
+    def test_corrupt_page1_does_not_reroute_surviving_pages(self):
+        # scanned detection keys off ANY page's dpi, and pages whose OCR
+        # failed (default metadata) are skipped instead of forcing the
+        # white-canvas branch for the whole document
+        img = glyphs.render_page(SPEC)
+        pdf = pdf_text.build_scanned_pdf([img, img])
+        doc = {"status": "ok", "metadata": {"file_type": "pdf"},
+               "pages": [
+                   {"number": 1, "metadata": {"dpi": 72}},  # contained page
+                   {"number": 2, "metadata": {"dpi": 350, "rotation": 0,
+                                              "preprocessed": False}}]}
+        pixels = artifacts._page_pixels(doc, pdf)
+        assert 1 not in pixels          # failed page: no geometry frame
+        assert pixels[2].shape[:2] == (792, 612)  # real pixels, not canvas
+        assert (pixels[2] < 250).any()
+
+    def test_export_errors_do_not_overwrite(self, spark, tmp_path):
+        from horizon_ocr_python_spark.engine.artifacts import (
+            ARTIFACT_SCHEMA, export_artifacts_local)
+
+        rows = [("https://x/a", "", 0, "error", "text/plain", b"boom-a"),
+                ("https://x/b", "", 0, "error", "text/plain", b"boom-b")]
+        df = spark.createDataFrame(rows, ARTIFACT_SCHEMA)
+        n = export_artifacts_local(df, str(tmp_path))
+        files = list((tmp_path / "Local" / "_errors").iterdir())
+        assert n == 2 and len(files) == 2
+        assert {f.read_bytes() for f in files} == {b"boom-a", b"boom-b"}
+
+
+class TestModelCacheRoots:
+    def test_load_model_distinct_roots(self, tmp_path):
+        import os
+
+        from horizon_ocr_python_spark.sources import models as model_src
+
+        info = model_src.MODELS[0]
+        roots = []
+        for sub in ("a", "b"):
+            root = str(tmp_path / sub)
+            path = os.path.join(root, info["local_path"])
+            os.makedirs(os.path.dirname(path))
+            with open(path, "wb") as fh:
+                fh.write(sub.encode())
+            roots.append(root)
+        loaded = [model_src.load_model(info["name"],
+                                       lambda p: open(p, "rb").read(), r)
+                  for r in roots]
+        assert loaded == [b"a", b"b"]  # no cross-root cache hit

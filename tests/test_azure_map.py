@@ -215,3 +215,76 @@ class TestRecordedResponseStage:
 
         df = spark.createDataFrame([("u", "{}")], ["url", "response"])
         assert plans.n_exchanges(map_recorded_responses(df)) == 0
+
+
+class TestReviewFindings:
+    """Regressions for the round-5 review findings."""
+
+    def test_style_span_length_clamped(self):
+        # a corrupt recorded length must not allocate an unbounded char map
+        lines = [{"text": "abc", "bbox": (0, 0, 10, 10)}]
+        styles = [{"spans": [{"offset": 0, "length": 10**12}],
+                   "fontWeight": "bold"}]
+        out = azure_map.apply_azure_styles(lines, styles, "abc")
+        assert out[0]["style"]["bold"] is True  # still styled, bounded work
+
+    def test_junk_array_elements_skipped_not_fatal(self):
+        resp = {"pages": [None, "junk",
+                          {"pageNumber": 1, "width": 1, "height": 1,
+                           "lines": [None,
+                                     {"content": "ok",
+                                      "polygon": [1, None, "x", 2],
+                                      "spans": [None,
+                                                {"offset": 0, "length": 2}]}],
+                           "words": ["junk", {"span": "notadict"}]}],
+                "tables": [{"cells": [None, {"rowIndex": 0}],
+                            "boundingRegions": [None,
+                                                {"pageNumber": 1,
+                                                 "polygon": [0, 0, 1, 1]}],
+                            "rowCount": 1, "columnCount": 1}],
+                "paragraphs": [None], "styles": [None]}
+        pages = azure_map.map_azure_response(resp)
+        assert len(pages) == 1
+        assert pages[0]["text_lines"][0]["text"] == "ok"
+        assert len(pages[0]["tables"]) == 1
+
+    def test_styles_flow_through_response_mapping(self):
+        # styles[] + content on the response style the mapped lines (R7
+        # wired into C5 — review finding: the replay stage dropped them)
+        resp = {"content": "Alpha\nBeta",
+                "pages": [{"pageNumber": 1, "width": 8.5, "height": 11.0,
+                           "lines": [
+                               {"content": "Alpha",
+                                "polygon": [0, 0, 2, 0, 2, 1, 0, 1],
+                                "spans": [{"offset": 0, "length": 5}]},
+                               {"content": "Beta",
+                                "polygon": [0, 1, 2, 1, 2, 2, 0, 2],
+                                "spans": [{"offset": 6, "length": 4}]}],
+                           "words": []}],
+                "styles": [{"spans": [{"offset": 0, "length": 5}],
+                            "fontWeight": "bold"}]}
+        pages = azure_map.map_azure_response(resp)
+        tls = pages[0]["text_lines"]
+        assert tls[0]["style"]["bold"] is True
+        assert tls[0]["style"]["source"] == "azure_detected"
+        assert tls[1]["style"]["bold"] is False
+
+    def test_stage_carries_styles(self, spark):
+        import json
+
+        from horizon_ocr_python_spark.engine.azure_stage import (
+            map_recorded_responses)
+
+        resp = {"content": "Alpha",
+                "pages": [{"pageNumber": 1, "width": 8.5, "height": 11.0,
+                           "lines": [{"content": "Alpha",
+                                      "polygon": [0, 0, 2, 0, 2, 1, 0, 1],
+                                      "spans": [{"offset": 0, "length": 5}]}],
+                           "words": []}],
+                "styles": [{"spans": [{"offset": 0, "length": 5}],
+                            "fontWeight": "bold"}]}
+        df = spark.createDataFrame([("u", json.dumps(resp))],
+                                   ["url", "response"])
+        row = map_recorded_responses(df).collect()[0]
+        assert row.text_lines[0].style.bold is True
+        assert row.text_lines[0].style.source == "azure_detected"

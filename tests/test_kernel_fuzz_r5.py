@@ -19,9 +19,10 @@ from horizon_ocr_python_spark.kernel import artifacts, azure_map
 _num = st.one_of(st.none(), st.integers(-5, 5000),
                  st.floats(allow_nan=False, allow_infinity=False,
                            min_value=-1e6, max_value=1e6),
-                 st.just("NaN-ish"))
-_poly = st.one_of(st.none(), st.lists(st.floats(0, 100, allow_nan=False),
-                                      max_size=10))
+                 st.just("NaN-ish"), st.just(10**12))
+_poly = st.one_of(st.none(), st.just("junk"), st.lists(
+    st.one_of(st.floats(0, 100, allow_nan=False), st.none(),
+              st.just("x")), max_size=10))
 _span = st.fixed_dictionaries({}, optional={"offset": _num, "length": _num})
 _text = st.text(max_size=12)
 # content fields in recorded JSON can carry non-string junk
@@ -36,43 +37,44 @@ _word = st.fixed_dictionaries({}, optional={
 _line = st.fixed_dictionaries({}, optional={
     "content": _content,
     "polygon": _poly,
-    "spans": st.one_of(st.none(), st.lists(_span, max_size=2)),
+    "spans": st.one_of(st.none(), st.lists(st.one_of(_span, st.none(), st.just('junk')), max_size=2)),
 })
 _region = st.fixed_dictionaries({}, optional={
     "pageNumber": _num, "polygon": _poly})
 _page = st.fixed_dictionaries({}, optional={
     "pageNumber": _num, "width": _num, "height": _num,
     "unit": st.one_of(st.none(), st.just("inch")),
-    "lines": st.one_of(st.none(), st.lists(_line, max_size=3)),
-    "words": st.one_of(st.none(), st.lists(_word, max_size=4)),
+    "lines": st.one_of(st.none(), st.lists(st.one_of(_line, st.none(), st.just('junk')), max_size=3)),
+    "words": st.one_of(st.none(), st.lists(st.one_of(_word, st.none(), st.just('junk')), max_size=4)),
 })
 _cell = st.fixed_dictionaries({}, optional={
     "rowIndex": _num, "columnIndex": _num, "rowSpan": _num,
     "columnSpan": _num, "kind": st.one_of(st.none(), _text),
     "content": _content,
-    "boundingRegions": st.one_of(st.none(), st.lists(_region, max_size=2)),
+    "boundingRegions": st.one_of(st.none(), st.lists(st.one_of(_region, st.none(), st.just('junk')), max_size=2)),
 })
 _table = st.fixed_dictionaries({}, optional={
     "rowCount": _num, "columnCount": _num,
-    "cells": st.one_of(st.none(), st.lists(_cell, max_size=4)),
-    "boundingRegions": st.one_of(st.none(), st.lists(_region, max_size=2)),
+    "cells": st.one_of(st.none(), st.lists(st.one_of(_cell, st.none(), st.just('junk')), max_size=4)),
+    "boundingRegions": st.one_of(st.none(), st.lists(st.one_of(_region, st.none(), st.just('junk')), max_size=2)),
 })
 _para = st.fixed_dictionaries({}, optional={
     "role": st.one_of(st.none(), _text, st.just("sectionHeading")),
     "content": _content,
-    "boundingRegions": st.one_of(st.none(), st.lists(_region, max_size=2)),
+    "boundingRegions": st.one_of(st.none(), st.lists(st.one_of(_region, st.none(), st.just('junk')), max_size=2)),
 })
 _style = st.fixed_dictionaries({}, optional={
-    "spans": st.one_of(st.none(), st.lists(_span, max_size=2)),
+    "spans": st.one_of(st.none(), st.lists(st.one_of(_span, st.none(), st.just('junk')), max_size=2)),
     "fontWeight": st.one_of(st.none(), st.just("bold"), _text),
     "fontStyle": st.one_of(st.none(), st.just("italic")),
     "isHandwritten": st.one_of(st.none(), st.booleans()),
 })
 _response = st.fixed_dictionaries({}, optional={
-    "pages": st.one_of(st.none(), st.lists(_page, max_size=2)),
-    "tables": st.one_of(st.none(), st.lists(_table, max_size=2)),
-    "paragraphs": st.one_of(st.none(), st.lists(_para, max_size=2)),
-    "styles": st.one_of(st.none(), st.lists(_style, max_size=2)),
+    "content": st.one_of(st.none(), _text, st.integers(-9, 9)),
+    "pages": st.one_of(st.none(), st.lists(st.one_of(_page, st.none(), st.just('junk')), max_size=2)),
+    "tables": st.one_of(st.none(), st.lists(st.one_of(_table, st.none(), st.just('junk')), max_size=2)),
+    "paragraphs": st.one_of(st.none(), st.lists(st.one_of(_para, st.none(), st.just('junk')), max_size=2)),
+    "styles": st.one_of(st.none(), st.lists(st.one_of(_style, st.none(), st.just('junk')), max_size=2)),
 })
 
 
@@ -98,7 +100,7 @@ class TestAzureMapFuzz:
         optional={"bbox": st.one_of(
             st.none(), st.tuples(*[st.floats(0, 100, allow_nan=False)] * 4))}),
         max_size=4),
-        st.one_of(st.none(), st.lists(_style, max_size=3)),
+        st.one_of(st.none(), st.lists(st.one_of(_style, st.none(), st.just('junk')), max_size=3)),
         st.text(max_size=40))
     @settings(max_examples=120, deadline=None)
     def test_apply_azure_styles_total(self, lines, styles, full_text):
