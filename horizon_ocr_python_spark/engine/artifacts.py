@@ -95,6 +95,7 @@ def export_artifacts_local(artifacts: DataFrame, out_dir: str,
     "Local"/"Azure_Cloud" mode subfolder). Driver-side by design — this is
     the human-debug endpoint for a bounded sample, not a distributed sink;
     returns the number of files written."""
+    import hashlib
     import os
 
     n = 0
@@ -106,7 +107,6 @@ def export_artifacts_local(artifacts: DataFrame, out_dir: str,
         elif row.kind == "error":
             # error rows share the _errors dir (no doc_id): key the file by
             # url hash so multiple failed docs don't overwrite each other
-            import hashlib
             name = f"error_{hashlib.md5(row.url.encode()).hexdigest()[:12]}.txt"
         else:
             name = f"page_{row.page:03d}_{row.kind}.png"

@@ -40,7 +40,7 @@ AZURE_PAGE_SCHEMA = StructType([
 
 
 def _line_row(tl: dict) -> dict:
-    from .extract import bbox_row
+    from .extract import bbox_row, style_row
 
     return {
         "text": tl.get("text"),
@@ -57,20 +57,10 @@ def _line_row(tl: dict) -> dict:
             "content_type": w.get("content_type"),
         } for w in tl.get("words", [])],
         # R7 styles (applied by the kernel when the response carries
-        # styles[] + content) project onto STYLE_SCHEMA; the `handwritten`
-        # flag has no schema slot — a recorded documented deviation (the
-        # engine's TextStyle mirrors types.py:118-126, which has no
-        # handwritten field either; Azure's flag lives only in styles[])
-        "style": ({
-            "font_name": st.get("font_name"),
-            "font_size": (float(st["font_size"])
-                          if st.get("font_size") is not None else None),
-            "bold": bool(st.get("bold", False)),
-            "italic": bool(st.get("italic", False)),
-            "color": st.get("color"),
-            "source": st.get("source"),
-            "confidence": float(st.get("confidence", 0.5)),
-        } if (st := tl.get("style")) else None),
+        # styles[] + content) project through the SHARED extract.style_row
+        # — the `handwritten` flag has no STYLE_SCHEMA slot (types.py:
+        # 118-126 has none either; Azure's flag lives only in styles[])
+        "style": style_row(tl.get("style")),
     }
 
 
@@ -95,7 +85,10 @@ def _page_rows(url: str, response_json: str) -> list[dict]:
         lines = p.get("text_lines") or []
         rows.append({
             "url": url,
-            "number": int(p.get("number", 1)),
+            # clamp to int32: a corrupt recorded pageNumber must yield a
+            # bounded value, not an Arrow cast failure outside the
+            # containment try (AZURE_PAGE_SCHEMA.number is IntegerType)
+            "number": max(0, min(int(p.get("number", 1)), 2**31 - 1)),
             "width": float(p.get("width") or 0.0),
             "height": float(p.get("height") or 0.0),
             "unit": (str(p["unit"]) if p.get("unit") is not None

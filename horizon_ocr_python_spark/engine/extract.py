@@ -104,20 +104,30 @@ def _page_row(p: dict) -> dict:
                 "source": w.get("source", tl.get("source")),
                 "content_type": w.get("content_type", tl.get("content_type")),
             } for w in tl.get("words", [])],
-            "style": ({
-                "font_name": tl["style"].get("font_name"),
-                "font_size": (float(tl["style"]["font_size"])
-                              if tl["style"].get("font_size") is not None
-                              else None),
-                "bold": bool(tl["style"].get("bold", False)),
-                "italic": bool(tl["style"].get("italic", False)),
-                "color": tl["style"].get("color"),
-                "source": tl["style"].get("source"),
-                "confidence": float(tl["style"].get("confidence", 0.5)),
-            } if tl.get("style") else None),
+            "style": style_row(tl.get("style")),
         } for tl in p.get("text_lines", [])],
         "tables": [_table_row(t) for t in p.get("tables", [])],
         "raw_text": p.get("raw_text", ""),
+    }
+
+
+def style_row(style: dict | None) -> dict | None:
+    """TextStyle dict -> STYLE_SCHEMA row — THE single projection, shared by
+    the native page rows and the Azure replay stage (engine/azure_stage.py)
+    so the two paths cannot silently diverge. Extra kernel keys (e.g. the
+    Azure `handwritten` flag, which types.py:118-126 has no slot for) are
+    dropped here."""
+    if not style:
+        return None
+    return {
+        "font_name": style.get("font_name"),
+        "font_size": (float(style["font_size"])
+                      if style.get("font_size") is not None else None),
+        "bold": bool(style.get("bold", False)),
+        "italic": bool(style.get("italic", False)),
+        "color": style.get("color"),
+        "source": style.get("source"),
+        "confidence": float(style.get("confidence", 0.5)),
     }
 
 

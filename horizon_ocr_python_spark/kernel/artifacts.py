@@ -384,10 +384,13 @@ def _page_pixels(doc: dict, payload: bytes) -> dict[int, np.ndarray]:
                   for p in pages)
     out: dict[int, np.ndarray] = {}
     if file_type == "image" and pages and scanned:
-        img = multimodal.decode_image(payload)
-        if img.ndim == 3:  # decode_image returns BGR; overlays are RGB
-            img = img[..., ::-1]
-        out[1] = _upright_frame(img, pages[0].get("metadata") or {})
+        # reproduce the frame on the SAME channel order recognition saw:
+        # decode_image returns BGR and _ocr_page preprocessed BGR (to_gray
+        # weights channels, so a premature RGB flip would change the quad/
+        # deskew geometry); flip to RGB only for the overlay at the end
+        frame = _upright_frame(multimodal.decode_image(payload),
+                               pages[0].get("metadata") or {})
+        out[1] = frame[..., ::-1] if frame.ndim == 3 else frame
     elif file_type == "pdf" and pages:
         if scanned:
             for p, img in enumerate(pdf_text.extract_pdf_images(payload), 1):

@@ -251,11 +251,16 @@ class TestReviewFindings:
 
 
 class TestModelCacheRoots:
-    def test_load_model_distinct_roots(self, tmp_path):
+    def test_load_model_distinct_roots(self, tmp_path, monkeypatch):
         import os
 
         from horizon_ocr_python_spark.sources import models as model_src
 
+        # pin path resolution to the local roots: a SparkFiles candidate
+        # registered by an earlier distribute_models test (same basename)
+        # would otherwise shadow both roots and make this order-dependent
+        monkeypatch.setattr(model_src, "model_path",
+                            lambda lp, root=".": os.path.join(root, lp))
         info = model_src.MODELS[0]
         roots = []
         for sub in ("a", "b"):

@@ -288,3 +288,16 @@ class TestReviewFindings:
         row = map_recorded_responses(df).collect()[0]
         assert row.text_lines[0].style.bold is True
         assert row.text_lines[0].style.source == "azure_detected"
+
+    def test_out_of_int32_page_number_contained(self, spark):
+        import json
+
+        from horizon_ocr_python_spark.engine.azure_stage import (
+            map_recorded_responses)
+
+        resp = {"pages": [{"pageNumber": 3_000_000_000, "width": 1,
+                           "height": 1, "lines": [], "words": []}]}
+        df = spark.createDataFrame([("u", json.dumps(resp))],
+                                   ["url", "response"])
+        row = map_recorded_responses(df).collect()[0]
+        assert row.status == "ok" and row.number == 2**31 - 1
