@@ -1,6 +1,12 @@
 """C5/R7 Azure response mapping (kernel/azure_map.py) vs the reference's
 rules: azure/doc_intelligence.py:385-658 (line/word/table/paragraph maps)
-and extract/pdf_style_extractor.py:261-343 (offset-interval styles)."""
+and extract/pdf_style_extractor.py:261-343 (offset-interval styles).
+
+Mirrors the reference's own mapping expectations
+(tests/test_azure_doc_intelligence.py:161-433: TestTextLineMapping /
+TestTableMapping / TestLayoutRegionMapping / TestRoleMap / TestHelpers /
+TestAnalyze) over the wire-shape dicts; the reference ships no tests for
+apply_azure_styles — the R7 classes here pin that surface beyond it."""
 
 from __future__ import annotations
 
