@@ -94,9 +94,13 @@ def export_artifacts_local(artifacts: DataFrame, out_dir: str,
     ``summary.html`` (io/artifacts.py:126-143 get_document_dir layout,
     "Local"/"Azure_Cloud" mode subfolder). Driver-side by design — this is
     the human-debug endpoint for a bounded sample, not a distributed sink;
-    returns the number of files written."""
+    returns the number of files written. ``mode`` accepts the reference's
+    lowercase mode names ("local"/"azure", get_document_dir
+    io/artifacts.py:126-143) as well as a literal subfolder name."""
     import hashlib
     import os
+
+    mode = {"local": "Local", "azure": "Azure_Cloud"}.get(mode.lower(), mode)
 
     n = 0
     for row in artifacts.toLocalIterator():

@@ -345,7 +345,10 @@ def summary_html(doc: dict, kinds_by_page: dict[int, list[str]]) -> str:
     return "".join(parts)
 
 
-OVERLAY_KINDS = ("layout", "text_polygons", "tables", "ocr", "combined")
+# "preprocessed" = the P-stage frame itself (save_preprocessed_image,
+# io/artifacts.py:145-173 — the reference's summary lists it first)
+OVERLAY_KINDS = ("preprocessed", "layout", "text_polygons", "tables", "ocr",
+                 "combined")
 
 
 def _page_pixels(doc: dict, payload: bytes) -> dict[int, np.ndarray]:
@@ -438,6 +441,11 @@ def document_artifacts(url: str, payload: bytes, lang: str = "",
         if img is None:
             continue
         rendered: list[tuple[str, np.ndarray]] = []
+        if "preprocessed" in kinds:
+            # the frame itself (P-stage output when the slow path ran, else
+            # the upright raw pixels) — save_preprocessed_image,
+            # io/artifacts.py:145-173
+            rendered.append(("preprocessed", _to_rgb(img)))
         if "layout" in kinds:
             rendered.append(
                 ("layout", layout_overlay(img, page.get("layout_regions") or [])))

@@ -274,3 +274,37 @@ class TestModelCacheRoots:
                                        lambda p: open(p, "rb").read(), r)
                   for r in roots]
         assert loaded == [b"a", b"b"]  # no cross-root cache hit
+
+
+class TestReferenceIoParity:
+    """Expectations mirrored from the reference's own artifact tests
+    (tests/test_io.py:107-240)."""
+
+    def test_preprocessed_kind_present(self):
+        # save_preprocessed_image twin: the frame itself is an artifact
+        pdf = pdf_text.build_scanned_pdf([glyphs.render_page(SPEC)])
+        rows = artifacts.document_artifacts("https://x/p.pdf", pdf)
+        pre = next(r for r in rows if r["kind"] == "preprocessed")
+        assert _decode(pre["payload"]).shape[:2] == (792, 612)
+
+    def test_kinds_filter_disables(self):
+        # disabled-save twin (test_io.py:144-160): an excluded kind is
+        # simply not rendered
+        pdf = pdf_text.build_scanned_pdf([glyphs.render_page(SPEC)])
+        rows = artifacts.document_artifacts("https://x/p.pdf", pdf,
+                                            kinds=("layout",))
+        assert {r["kind"] for r in rows} == {"layout", "summary"}
+
+    def test_mode_subfolders(self, spark, tmp_path):
+        # get_document_dir mode mapping (test_io.py:195-231):
+        # local -> Local/, azure -> Azure_Cloud/
+        from horizon_ocr_python_spark.engine.artifacts import (
+            ARTIFACT_SCHEMA, export_artifacts_local)
+
+        rows = [("https://x/a", "doc-1", 0, "summary", "text/html",
+                 b"<html></html>")]
+        df = spark.createDataFrame(rows, ARTIFACT_SCHEMA)
+        export_artifacts_local(df, str(tmp_path), mode="local")
+        export_artifacts_local(df, str(tmp_path), mode="azure")
+        assert (tmp_path / "Local" / "doc-1" / "summary.html").exists()
+        assert (tmp_path / "Azure_Cloud" / "doc-1" / "summary.html").exists()
