@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import threading
 import time
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass
 from typing import Any, Optional
 
 # Static per-unit USD prices (public Azure list prices; "default" is the
@@ -78,6 +78,12 @@ class CostTracker:
         self._di = di_prices or DI_COST_PER_PAGE
         self._gin = gpt_input_prices or GPT_COST_PER_1K_INPUT
         self._gout = gpt_output_prices or GPT_COST_PER_1K_OUTPUT
+        for name, table in (("di_prices", self._di),
+                            ("gpt_input_prices", self._gin),
+                            ("gpt_output_prices", self._gout)):
+            if "default" not in table:
+                raise ValueError(
+                    f"{name} must carry a 'default' rate for unknown models")
         self._lock = threading.RLock()
 
     # -- pricing -------------------------------------------------------------
@@ -175,16 +181,48 @@ class CostTracker:
 
     # -- reporting (cost_tracker.py:266-333) ---------------------------------
 
+    def _aggregates(self, records: list[APICallRecord]) -> dict[str, Any]:
+        """Every aggregate from ONE snapshot — a concurrent recorder must
+        not make total_calls disagree with len(records)
+        (cost_tracker.py:286-291 takes the same single-snapshot approach)."""
+        saved = 0.0
+        for r in records:
+            if not r.cached:
+                continue
+            if r.service == "doc_intelligence":
+                saved += self._di_cost(r.model, r.pages)
+            else:
+                saved += self._gpt_cost(r.model, r.prompt_tokens,
+                                        r.completion_tokens)
+        return {
+            "total_calls": len(records),
+            "total_di_calls": sum(r.service == "doc_intelligence"
+                                  for r in records),
+            "total_gpt_calls": sum(r.service == "gpt_vision"
+                                   for r in records),
+            "total_pages_analysed": sum(
+                r.pages for r in records if r.service == "doc_intelligence"),
+            "total_tokens": sum(r.prompt_tokens + r.completion_tokens
+                                for r in records
+                                if r.service == "gpt_vision"),
+            "cache_hits": sum(r.cached for r in records),
+            "estimated_cost_usd": round(
+                sum(r.estimated_cost_usd for r in records), 6),
+            "cost_saved_by_cache_usd": round(saved, 6),
+        }
+
     def summary(self) -> str:
+        agg = self._aggregates(self._snapshot())
         rows = [
-            ("Total API calls", self.total_calls),
-            ("- Doc Intelligence", self.total_di_calls),
-            ("- GPT Vision", self.total_gpt_calls),
-            ("Pages analysed (DI)", self.total_pages_analysed),
-            ("Tokens used (GPT)", self.total_tokens),
-            ("Cache hits", self.cache_hit_count),
-            ("Estimated cost (USD)", f"{self.total_cost_usd:.4f}"),
-            ("Saved by cache (USD)", f"{self.cost_saved_by_cache:.4f}"),
+            ("Total API calls", agg["total_calls"]),
+            ("- Doc Intelligence", agg["total_di_calls"]),
+            ("- GPT Vision", agg["total_gpt_calls"]),
+            ("Pages analysed (DI)", agg["total_pages_analysed"]),
+            ("Tokens used (GPT)", agg["total_tokens"]),
+            ("Cache hits", agg["cache_hits"]),
+            ("Estimated cost (USD)", f"{agg['estimated_cost_usd']:.4f}"),
+            ("Saved by cache (USD)",
+             f"{agg['cost_saved_by_cache_usd']:.4f}"),
         ]
         body = "\n".join(f"| {k:<22} {str(v):>10} |" for k, v in rows)
         rule = "+" + "-" * 35 + "+"
@@ -192,17 +230,9 @@ class CostTracker:
                           rule, body, rule])
 
     def to_dict(self) -> dict[str, Any]:
-        return {
-            "total_calls": self.total_calls,
-            "total_di_calls": self.total_di_calls,
-            "total_gpt_calls": self.total_gpt_calls,
-            "total_pages_analysed": self.total_pages_analysed,
-            "total_tokens": self.total_tokens,
-            "cache_hits": self.cache_hit_count,
-            "estimated_cost_usd": self.total_cost_usd,
-            "cost_saved_by_cache_usd": self.cost_saved_by_cache,
-            "records": [asdict(r) for r in self._snapshot()],
-        }
+        records = self._snapshot()
+        return {**self._aggregates(records),
+                "records": [asdict(r) for r in records]}
 
     def reset(self) -> None:
         with self._lock:

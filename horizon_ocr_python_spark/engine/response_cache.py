@@ -76,6 +76,8 @@ class ResponseCache:
                     entry = json.load(fh)
             except (OSError, ValueError):
                 entry = None
+            if not isinstance(entry, dict):  # valid JSON, wrong shape
+                entry = None
         if not self.enabled:
             return None
         if entry is None:
@@ -197,13 +199,27 @@ def _serialise(obj: Any) -> Any:
 
 def cached_responses_df(spark, cache_dir: str):
     """A cache directory as a replay-ready DataFrame: one row per entry,
-    columns (url = cache key, response = the response re-serialised as a
-    JSON string). Reads JVM-side (spark.read.json over ``*.json``), ships
-    no payload to Python, and plugs directly into
-    ``azure_stage.map_recorded_responses``."""
-    from pyspark.sql import functions as F
+    columns (url = cache key, response = the response's raw JSON string).
 
-    entries = spark.read.option("multiLine", "true").json(
+    Reads each entry as whole text and slices out ``$.key`` / ``$.response``
+    with ``get_json_object`` — NO schema inference, so a real reference
+    cache dir that mixes Document Intelligence analyzeResults with GPT-KIE
+    field dicts (the orchestrator shares one cache for both) round-trips
+    each response verbatim instead of being mangled into a union schema.
+    Entries whose response carries no ``pages`` (e.g. GPT-KIE dicts)
+    simply map to zero page rows in the replay stage. An empty cache dir
+    yields an empty frame, not an AnalysisException."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField("url", StringType(), True),
+                         StructField("response", StringType(), True)])
+    has_entries = os.path.isdir(cache_dir) and any(
+        name.endswith(".json") for name in os.listdir(cache_dir))
+    if not has_entries:
+        return spark.createDataFrame([], schema)
+    entries = spark.read.option("wholetext", "true").text(
         os.path.join(cache_dir, "*.json"))
-    return entries.select(F.col("key").alias("url"),
-                          F.to_json(F.col("response")).alias("response"))
+    return entries.select(
+        F.get_json_object("value", "$.key").alias("url"),
+        F.get_json_object("value", "$.response").alias("response"))

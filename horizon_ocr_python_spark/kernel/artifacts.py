@@ -441,10 +441,13 @@ def document_artifacts(url: str, payload: bytes, lang: str = "",
         if img is None:
             continue
         rendered: list[tuple[str, np.ndarray]] = []
-        if "preprocessed" in kinds:
+        is_raster = (page.get("metadata") or {}).get("dpi") == 350
+        if "preprocessed" in kinds and is_raster:
             # the frame itself (P-stage output when the slow path ran, else
             # the upright raw pixels) — save_preprocessed_image,
-            # io/artifacts.py:145-173
+            # io/artifacts.py:145-173. Raster pages only: a native-PDF
+            # page's frame is a synthetic white canvas, not a preprocessed
+            # image, and would just ship a blank PNG
             rendered.append(("preprocessed", _to_rgb(img)))
         if "layout" in kinds:
             rendered.append(

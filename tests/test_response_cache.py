@@ -140,3 +140,45 @@ class TestSparkBridge:
         assert pages[0].url == key and pages[0].status == "ok"
         assert pages[0].text_lines[0].text == "Cached line"
         assert pages[0].raw_text == "Cached line"
+
+
+class TestReviewFindings:
+    def test_non_object_json_entry_is_a_miss(self, tmp_path):
+        cache = ResponseCache(cache_dir=str(tmp_path / "c"))
+        cache.put("k", {"x": 1})
+        with open(os.path.join(cache.cache_dir, "k.json"), "w") as fh:
+            fh.write("[1, 2]")  # valid JSON, wrong shape
+        assert cache.get("k") is None
+        assert cache.stats()["misses"] == 1
+
+    def test_empty_cache_dir_yields_empty_frame(self, spark, tmp_path):
+        from horizon_ocr_python_spark.engine.response_cache import (
+            cached_responses_df)
+
+        df = cached_responses_df(spark, str(tmp_path / "nothing"))
+        assert df.count() == 0 and df.columns == ["url", "response"]
+
+    def test_mixed_di_and_gpt_entries_round_trip(self, spark, tmp_path):
+        # the reference shares ONE cache between DI analyzeResults and
+        # GPT-KIE field dicts; both must survive verbatim (no inferred
+        # union schema) and non-page entries map to zero page rows
+        from horizon_ocr_python_spark.engine.azure_stage import (
+            map_recorded_responses)
+        from horizon_ocr_python_spark.engine.response_cache import (
+            cached_responses_df)
+
+        cache = ResponseCache(cache_dir=str(tmp_path / "c"))
+        di = {"pages": [{"pageNumber": 1, "width": 1.0, "height": 1.0,
+                         "lines": [{"content": "x",
+                                    "spans": [{"offset": 0, "length": 1}]}],
+                         "words": []}]}
+        gpt = {"fields": {"total": "$5.00"}, "confidence": 0.9}
+        cache.put("di-key", di)
+        cache.put("gpt-key", gpt)
+
+        df = cached_responses_df(spark, cache.cache_dir)
+        rows = {r.url: r.response for r in df.collect()}
+        assert json.loads(rows["gpt-key"]) == gpt  # verbatim round-trip
+        mapped = map_recorded_responses(df)
+        pages = mapped.collect()
+        assert [r.url for r in pages if r.status == "ok"] == ["di-key"]
