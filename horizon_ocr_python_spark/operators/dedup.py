@@ -100,11 +100,27 @@ def minhash_long_from(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFram
 
 def minhash_signatures_from(docs: DataFrame,
                             num_hashes: int = NUM_HASHES) -> DataFrame:
-    """Wide signature: one row per doc, sig_0..sig_{n-1}."""
-    long = minhash_long_from(docs, num_hashes)
-    aggs = [F.min(F.when(F.col("seed") == i, F.col("mh"))).alias(f"sig_{i}")
-            for i in range(num_hashes)]
-    return long.groupBy("doc_id").agg(*aggs)
+    """Wide signature: one row per doc, sig_0..sig_{n-1}.
+
+    NARROW form (r6): sig_i = array_min(transform(words, w -> md5(i:w)))
+    computed per row — no explode, no seed crossJoin, no shuffled
+    aggregation at all (the r5 shape shuffled words x seeds twice). min over
+    the same md5(seed:w) set is the identical value; docs with no words
+    produced zero exploded rows before, so the size(ws) > 0 filter keeps
+    the output row set identical. The one repartition (_rebalanced) remains
+    solely to spread the per-row hash work off a single-split scan."""
+    ws = F.array_distinct(_words(F.col("text")))
+    with_ws = _rebalanced(docs).select("doc_id", ws.alias("ws")) \
+        .filter(F.size(F.col("ws")) > 0)
+    def sig(i: int):
+        # bind the seed via closure: a 2-arg lambda would make pyspark pass
+        # the ARRAY INDEX as the second argument and clobber the seed
+        seed = F.lit(str(i))
+        return F.array_min(F.transform(
+            F.col("ws"), lambda w: F.md5(F.concat_ws(":", seed, w))))
+
+    return with_ws.select("doc_id",
+                          *[sig(i).alias(f"sig_{i}") for i in range(num_hashes)])
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,17 +152,17 @@ def band_keys_from(sig: DataFrame, num_hashes: int = NUM_HASHES,
     """(doc_id, band_key) — band = md5 of `num_hashes/bands` joined
     signature rows, prefixed with the band index."""
     rows_per_band = num_hashes // bands
-    parts = []
+    band_cols = []
     for b in range(bands):
         cols = [F.col(f"sig_{i}") for i in range(b * rows_per_band,
                                                  (b + 1) * rows_per_band)]
-        parts.append(sig.select(
-            "doc_id",
-            F.concat(F.lit(f"{b}:"), F.md5(F.concat_ws("|", *cols))).alias("band_key")))
-    out = parts[0]
-    for extra in parts[1:]:
-        out = out.unionByName(extra)
-    return out
+        band_cols.append(
+            F.concat(F.lit(f"{b}:"), F.md5(F.concat_ws("|", *cols))))
+    # one explode instead of a `bands`-way union: the union re-evaluated the
+    # whole signature lineage once per band (b scans / b hash passes); the
+    # array form computes each signature exactly once per doc
+    return sig.select("doc_id",
+                      F.explode(F.array(*band_cols)).alias("band_key"))
 
 
 def capped_band_keys_from(sig: DataFrame, num_hashes: int = NUM_HASHES,
@@ -224,18 +240,21 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
                     .cast("long").alias("h")))
-    # One conditional-sum aggregate per bit instead of a 32x bit fan-out:
-    # a single groupBy(doc_id) with 32 agg expressions shuffles 1 row/doc,
-    # vs 32 rows/doc-token for the naive explode — same result, ~30x less
-    # shuffle and no crossJoin stage.
-    votes = [F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
-                   .otherwise(-1)).alias(f"v{b}") for b in range(32)]
+    # One aggregate per bit instead of a 32x bit fan-out: a single
+    # groupBy(doc_id) with 32 agg expressions shuffles 1 row/doc, vs 32
+    # rows/doc-token for the naive explode. Branch-free form (r6): count
+    # set bits s_b = sum((h>>b)&1) and the token count n; the +-1 vote sum
+    # is 2*s_b - n, so vote_b > 0 <=> 2*s_b > n — same packed value, no
+    # per-row conditional in the 32 partial aggregates.
+    setbits = [F.sum(F.shiftright(F.col("h"), b).bitwiseAND(1))
+               .alias(f"s{b}") for b in range(32)]
     packed = None
     for b in range(32):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")) \
+        term = F.when(2 * F.col(f"s{b}") > F.col("n"),
+                      F.lit(1 << b).cast("long")) \
             .otherwise(F.lit(0).cast("long"))
         packed = term if packed is None else packed + term
-    return (toks.groupBy("doc_id").agg(*votes)
+    return (toks.groupBy("doc_id").agg(F.count("*").alias("n"), *setbits)
             .select("doc_id", packed.alias("simhash"))
             .orderBy("doc_id"))
 
