@@ -55,6 +55,12 @@ _TEMPLATES = np.stack([GLYPHS[ch] for ch in _NONSPACE]).reshape(
     len(_NONSPACE), -1)
 # uniqueness is a correctness precondition of the codec — assert it once
 assert len({t.tobytes() for t in _TEMPLATES}) == len(_NONSPACE)
+# float64 twins for the matmul Hamming distance in _walk: with f, t in
+# {0,1}, |f XOR t| = sum(f) + sum(t) - 2*f.t — all values are small exact
+# integers in float64, so argmin/confidences are bit-identical to the
+# boolean count_nonzero form
+_TEMPLATES_F = _TEMPLATES.astype(np.float64)
+_TEMPLATE_ROWSUM = _TEMPLATES_F.sum(axis=1)
 
 
 def render_page(lines: list[tuple], width: int = 612,
@@ -107,13 +113,19 @@ def _walk(band: np.ndarray, x0: int, x1: int, s: int):
     bh = min(band.shape[0], h)
     padded[:bh, left:left + band.shape[1]] = band[:bh]
     idx = (x0 + left) + pitch * np.arange(n_cells)
-    blocks = np.stack([padded[:, cx:cx + w] for cx in idx])   # (n, 7s, 5s)
-    bits = blocks.reshape(n_cells, GLYPH_H, s, GLYPH_W, s) \
-        .mean(axis=(2, 4)) >= 0.5                             # (n, 7, 5)
-    flat = bits.reshape(n_cells, -1)
+    # one fancy-index gather for all cells (r6: replaces an n-slice
+    # np.stack), then integer block-majority: mean >= 0.5 over an s*s
+    # block of bools <=> 2*sum >= s*s, exactly
+    blocks = padded[:, idx[:, None] + np.arange(w)[None, :]] \
+        .transpose(1, 0, 2)                                   # (n, 7s, 5s)
+    sums = blocks.reshape(n_cells, GLYPH_H, s, GLYPH_W, s).sum(axis=(2, 4))
+    flat = (2 * sums >= s * s).reshape(n_cells, -1)           # (n, 35)
     blank = ~flat.any(axis=1)
-    dists = np.count_nonzero(flat[:, None, :] != _TEMPLATES[None, :, :],
-                             axis=2)                          # (n, 95)
+    # Hamming distance as ONE matmul (see _TEMPLATES_F note): exact small
+    # integers in float64, so ties/argmin match the count_nonzero form
+    f = flat.astype(np.float64)
+    dists = (f.sum(axis=1)[:, None] + _TEMPLATE_ROWSUM[None, :]
+             - 2.0 * (f @ _TEMPLATES_F.T))                    # (n, 95)
     best = np.argmin(dists, axis=1)
     best_d = dists[np.arange(n_cells), best]
     chars = [" " if blank[c] else _NONSPACE[best[c]] for c in range(n_cells)]

@@ -41,12 +41,14 @@ SIM_NEIGHBOR_WIDTH = 4
 
 
 def bucket_pairs_single_pass(keys: DataFrame, id_col: str, max_bucket: int,
-                             width: int) -> DataFrame:
+                             width: int | None) -> DataFrame:
     """(band_key, id) rows -> DISTINCT candidate (ia, ib) pairs in ONE
     shuffle + one distinct: repartition by band_key co-locates every
     bucket, then a per-partition pandas pass emits exhaustive pairs
     (ia < ib) for buckets <= max_bucket and sorted-neighborhood links
     (each member to its next `width` successors) for over-cap ones.
+    `width=None` DROPS over-cap buckets instead (the capped_band_keys_from
+    exclusion semantics used by minhash_lsh_pairs / ngram_jaccard_pairs).
 
     r6 optimization (guide §2.4): this replaces a census groupBy +
     anti-join + self-join + semi-join + window + explode-join chain — six
@@ -82,7 +84,7 @@ def bucket_pairs_single_pass(keys: DataFrame, id_col: str, max_bucket: int,
                     for b in ids[i + 1:]:
                         out_a.append(a)
                         out_b.append(b)
-            else:
+            elif width is not None:
                 for i in range(m - 1):
                     a = ids[i]
                     for b in ids[i + 1:i + 1 + width]:

@@ -189,14 +189,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX_BAND_BUCKET are excluded (see module docstring): they are dup
     clusters or degenerate bands, and their quadratic pair sets are exactly
     what kills this operator at 100 TB."""
+    from .compose import bucket_pairs_single_pass
+
     sig = minhash_signatures_from(table(spark, sf_dir, "documents"))
-    keys = capped_band_keys_from(sig)
-    a, b_ = keys.alias("a"), keys.alias("b")
-    return (a.join(b_, (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct()
+    keys = band_keys_from(sig)
+    # r6: one-shuffle per-bucket pass (width=None = drop over-cap buckets,
+    # exactly the capped_band_keys_from exclusion) instead of census
+    # anti-join + band-key self-join — see compose.bucket_pairs_single_pass
+    return (bucket_pairs_single_pass(keys, "doc_id", MAX_BAND_BUCKET, None)
+            .select(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"))
             .orderBy("doc_a", "doc_b"))
 
 
@@ -292,14 +293,12 @@ def jaccard_pairs_from(docs: DataFrame, num_hashes: int = NUM_HASHES,
     The block key is order-insensitive and its collision probability IS the
     similarity being measured — no boilerplate-prefix skew, and the bucket
     cap bounds the worst block at max_bucket^2/2 pairs."""
+    from .compose import bucket_pairs_single_pass
+
     sig = minhash_signatures_from(docs, num_hashes)
-    keys = capped_band_keys_from(sig, num_hashes, bands, max_bucket)
-    a, b = keys.alias("a"), keys.alias("b")
-    cand = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    keys = band_keys_from(sig, num_hashes, bands)
+    cand = (bucket_pairs_single_pass(keys, "doc_id", max_bucket, None)
+            .select(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b")))
     ws = docs.select("doc_id", F.array_distinct(_words(F.col("text"))).alias("ws"))
     wa = ws.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
     wb = ws.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
