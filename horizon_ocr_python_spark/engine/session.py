@@ -59,6 +59,15 @@ def build_session(master: str | None = None, app_name: str = "horizon-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # prefer shuffled hash join over sort-merge when the per-partition
+        # build side fits (guide §3.1/§9): no sort of either side; AQE can
+        # also rewrite SMJ->SHJ at runtime below the local-map threshold.
+        # The threshold bounds the in-memory hash build per task, so it is
+        # the scale-safety knob (HSP_SHJ_LOCALMAP_THRESHOLD; SMJ remains
+        # the spill-safe fallback above it).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("HSP_SHJ_LOCALMAP_THRESHOLD", "64m"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.python.worker.reuse", "true")
