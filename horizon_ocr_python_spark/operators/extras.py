@@ -239,10 +239,20 @@ def k4_bio_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w.rowsBetween(Window.unboundedPreceding, 0)))
             .filter(F.col("tag") != "O"))
     entity = F.substring(F.col("tag"), 3, 100)
+    # entity text MUST be in token (event_id) order — the oracle says
+    # string_agg(word, ' ' ORDER BY event_id). A bare collect_list only
+    # *happens* to see sorted rows while the object-hash aggregate stays
+    # in hash mode; past the sort-based fallback threshold the radix sort
+    # on run_id is not stable and the word order scrambles (observed at
+    # sf0.001/sf0.1; sf0.01 was green by luck). Sorting (event_id, word)
+    # structs inside the aggregate pins the order at every scale.
+    ordered_words = F.transform(
+        F.array_sort(F.collect_list(F.struct("event_id", "word"))),
+        lambda s: s["word"])
     grouped = (runs.withColumn("entity", entity)
                .groupBy("run_id")
                .agg(F.min("entity").alias("entity"),
-                    F.concat_ws(" ", F.collect_list("word")).alias("value"),
+                    F.concat_ws(" ", ordered_words).alias("value"),
                     F.round(F.avg("conf"), 6).alias("confidence"),
                     F.count("*").alias("n_tokens")))
     data_type = (F.when(F.col("entity").isin("AMOUNT", "TOTAL", "TAX"), "currency")
