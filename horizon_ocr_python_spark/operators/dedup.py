@@ -124,8 +124,26 @@ def minhash_signatures_from(docs: DataFrame,
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (minhash_signatures_from(table(spark, sf_dir, "documents"))
-            .orderBy("doc_id"))
+    """Sorted signature table. A trailing .orderBy over the computed sigs
+    would range-SAMPLE the expensive projection and then compute it again
+    for the real pass; range-partitioning the RAW (doc_id, text) rows and
+    sorting within partitions yields the identical global doc_id order
+    with the signatures computed exactly once and ONE exchange total."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    ws = F.array_distinct(_words(F.col("text")))
+    with_ws = (docs.repartitionByRange(n, "doc_id")
+               .select("doc_id", ws.alias("ws"))
+               .filter(F.size(F.col("ws")) > 0)
+               .sortWithinPartitions("doc_id"))
+
+    def sig(i: int):
+        seed = F.lit(str(i))
+        return F.array_min(F.transform(
+            F.col("ws"), lambda w: F.md5(F.concat_ws(":", seed, w))))
+
+    return with_ws.select("doc_id",
+                          *[sig(i).alias(f"sig_{i}") for i in range(NUM_HASHES)])
 
 
 MINHASH_SIGNATURES_SQL = f"""
