@@ -34,6 +34,10 @@ class Thresholds:
     glyph_reocr_confidence: float = 0.90
     image_text_gate: float = 0.88
     picture_floor: float = 0.80
+    # minimum recognized non-space chars (absent a table) for image-text
+    # acceptance — the gate score is a char-weighted mean, so one lucky
+    # noise cell must not clear it alone (kernel.document rationale)
+    min_image_text_chars: int = 8
 
 
 @dataclass

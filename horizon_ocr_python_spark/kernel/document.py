@@ -131,6 +131,8 @@ def _resolve_settings(config: Optional[dict], fusion_strategy: str) -> dict:
         "glyph_reocr_confidence": thr.get("glyph_reocr_confidence", 0.90),
         "image_text_gate": thr.get("image_text_gate", IMAGE_TEXT_GATE),
         "picture_floor": thr.get("picture_floor", PICTURE_FLOOR),
+        "min_image_text_chars": thr.get("min_image_text_chars",
+                                        MIN_IMAGE_TEXT_CHARS),
     }
 
 
@@ -421,8 +423,12 @@ def _extract(url: str, payload: bytes, warc_ts: Any, lang: str,
             # silently nullified by the floor's earlier short-circuit
             floor = min(st["picture_floor"], st["image_text_gate"])
             ocr = _ocr_page(img, 1, junk_floor=floor, settings=st)
+            n_rec_chars = sum(len(tl["text"]) - tl["text"].count(" ")
+                              for tl in ocr["text_lines"])
             if ((ocr["text_lines"] or ocr["tables"])
-                    and ocr["score"] >= st["image_text_gate"]):
+                    and ocr["score"] >= st["image_text_gate"]
+                    and (ocr["tables"]
+                         or n_rec_chars >= st["min_image_text_chars"])):
                 return _assemble_from_ocr(url, payload, warc_ts, lang, now,
                                           st, file_type, [ocr])
             # readability was already assessed inside _ocr_page (it is
@@ -485,6 +491,17 @@ IMAGE_TEXT_GATE = 0.88
 # ~1.0; borderline 0.80-0.88 pages still get the full enhancement chance).
 # Skipping preprocess + re-OCR on obvious non-documents saves ~60ms/row.
 PICTURE_FLOOR = 0.80
+
+# Minimum EVIDENCE for image-text acceptance: the gate score is a
+# char-weighted mean, so a single noise cell that happens to land within
+# Hamming-tolerance of one template (~0.2% of random-noise images, found
+# by fuzzing: a lone ';' at conf 0.89) can clear IMAGE_TEXT_GATE on its
+# own. Real document scans in this engine's operating range carry tens of
+# characters (corpus minimum observed: 69 non-space chars); requiring a
+# handful of recognized characters (or a detected table structure) keeps
+# every genuine scan and makes a meaningless single-cell match
+# insufficient. Pictures/diagrams remain picture rows either way.
+MIN_IMAGE_TEXT_CHARS = 8
 
 
 def _ocr_page(img, p: int, junk_floor: Optional[float] = None,

@@ -191,9 +191,15 @@ def _cc_labels(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     + map-side-combined min aggregate; lineage is truncated per round with
     localCheckpoint so the plan stays O(1) deep. Returns (doc_id, label)
     where label = min doc_id of the component."""
-    sym = (edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
-           .unionByName(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
-           .distinct().localCheckpoint())
+    # both orientations from ONE pass over the edge lineage: the union form
+    # evaluated the whole upstream verify pipeline once per branch (the
+    # narrow jaccard/array_intersect work above the last exchange is not
+    # covered by AQE exchange reuse)
+    sym = (edges.select(F.explode(F.array(
+               F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+               F.struct(F.col("b").alias("x"), F.col("a").alias("y"))))
+               .alias("e"))
+           .select("e.x", "e.y").distinct().localCheckpoint())
 
     n_edges = sym.count()
     if n_edges <= DRIVER_CC_MAX_EDGES:

@@ -90,6 +90,23 @@ class TestImageRouteFuzz:
         assert doc["status"] == "ok"
         assert doc["raw_text"] == ""
 
+    def test_lucky_single_cell_noise_rejected(self):
+        """r6 regression pin: these noise seeds produce ONE cell whose
+        template match scores above IMAGE_TEXT_GATE (a lone ';' at conf
+        ~0.89) — the char-weighted mean gate alone accepted them. The
+        MIN_IMAGE_TEXT_CHARS evidence floor must reject single-cell
+        matches while every corpus scan (>= 69 recognized chars) is far
+        above it (kernel/document.py rationale)."""
+        from horizon_ocr_python_spark.kernel import png
+
+        for seed in (17912, 1025828783):
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, (120, 160), dtype=np.uint8)
+            doc = extract_document("https://x/n.png", png.encode_png(img))
+            assert doc["status"] == "ok"
+            assert doc["raw_text"] == ""
+            assert doc["pages"][0]["layout_regions"][0]["type"] == "image"
+
 
 class TestKmeansQuantization:
     @given(st.lists(st.floats(-8, 8, allow_nan=False, width=32),
