@@ -103,6 +103,23 @@ def _warm_python_runner(spark: SparkSession) -> None:
         (spark.range(0, cores, 1, cores).toDF("i")
          .mapInPandas(_noop, "i long").count())
 
+        # parquet reader/writer first-use JIT (vectorized reader, footer
+        # parsing, commit protocol): a 10k-row synthetic round trip in a
+        # temp dir — measured ~3 s off the session's first real scan query
+        # at local[32]
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="hsp-warm-")
+        try:
+            path = os.path.join(tmp, "w.parquet")
+            (spark.range(0, 10_000, 1, 4).toDF("i")
+             .write.mode("overwrite").parquet(path))
+            (spark.read.parquet(path)
+             .write.format("noop").mode("overwrite").save())
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
         @F.pandas_udf("long")
         def _ident(s: pd.Series) -> pd.Series:
             return s
