@@ -203,6 +203,65 @@ def _fast_lut(bits: tuple, vals: tuple, is_ac: bool) -> tuple:
     return tuple(lut)
 
 
+@lru_cache(maxsize=64)
+def _ac_multi_lut(bits: tuple, vals: tuple) -> tuple:
+    """16-bit-prefix -> a TUPLE of fully decoded AC ops, as many complete
+    code+magnitude units as fit in the window (document JPEGs average
+    ~5-8 bits per AC unit, so one lookup typically yields 2-3
+    coefficients — halving the per-symbol interpreter iterations).
+
+    Each op is (dk, value, cum_after, cum_after_code):
+      dk >= 0, value int  — a coefficient after a zero-run of dk
+      dk == 16, value None — ZRL (cum_after == cum_after_code)
+      dk == -1, value None — EOB, always the last op
+    cum_* are bits consumed through this op (with/without its magnitude),
+    so the runtime can rewind to the exact single-step consumption at the
+    k>63 corner. None = invalid first code or nothing fits — the caller
+    falls back to the exact two-step path."""
+    codes = _build_codes(list(bits), list(vals))
+    lut: list = [None] * (1 << 16)
+    # single-symbol decoder over the 16-bit window, used by the simulation
+    # (prefix-freedom guarantees a decode whose length fits the remaining
+    # real bits is the genuine symbol)
+    single: list = [None] * (1 << 16)
+    for sym, (code, ln) in codes.items():
+        lo = code << (16 - ln)
+        hi = lo + (1 << (16 - ln))
+        for p in range(lo, hi):
+            single[p] = (sym, ln)
+    for p in range(1 << 16):
+        ops = []
+        pos = 0
+        while pos < 16:
+            window = (p << pos) & 0xFFFF  # remaining bits, left-aligned
+            dec = single[window]
+            if dec is None:
+                break  # code not fully in window (or invalid): stop here
+            sym, ln = dec
+            # a code is only trustworthy if it fits entirely in-window
+            if pos + ln > 16:
+                break
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    pos += ln
+                    ops.append((16, None, pos, pos))
+                    continue
+                pos += ln
+                ops.append((-1, None, pos, pos))  # EOB terminates
+                break
+            if pos + ln + s > 16:
+                break  # magnitude spills out: stop before this unit
+            mag = (p >> (16 - pos - ln - s)) & ((1 << s) - 1)
+            v = mag if mag >= (1 << (s - 1)) else mag - (1 << s) + 1
+            ops.append((r, v, pos + ln + s, pos + ln))
+            pos += ln + s
+            if len(ops) >= 6:
+                break
+        lut[p] = tuple(ops) if ops else None
+    return tuple(lut)
+
+
 def warm_annex_k_luts() -> None:
     """Prebuild the decode LUTs for the Annex K default tables (what the
     in-repo encoder and virtually every baseline JFIF in the wild use) so
@@ -212,7 +271,10 @@ def warm_annex_k_luts() -> None:
                             (0, DC_CHROMA_BITS, DC_CHROMA_VALS),
                             (1, AC_CHROMA_BITS, AC_CHROMA_VALS)):
         _decode_lut(tuple(bits), tuple(vals))
-        _fast_lut(tuple(bits), tuple(vals), cls == 1)
+        if cls == 0:
+            _fast_lut(tuple(bits), tuple(vals), False)
+        else:
+            _ac_multi_lut(tuple(bits), tuple(vals))
 
 
 class _BitWriter:
@@ -503,9 +565,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(payload[p + 1:p + 17])
                 nv = sum(bits)
                 vals = list(payload[p + 17:p + 17 + nv])
-                huff[(cls, tid)] = (_decode_lut(tuple(bits), tuple(vals)),
-                                    _fast_lut(tuple(bits), tuple(vals),
-                                              cls == 1))
+                huff[(cls, tid)] = (
+                    _decode_lut(tuple(bits), tuple(vals)),
+                    _fast_lut(tuple(bits), tuple(vals), False)
+                    if cls == 0 else None,
+                    _ac_multi_lut(tuple(bits), tuple(vals))
+                    if cls == 1 else None)
                 p += 17 + nv
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
             prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
@@ -552,10 +617,14 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list[dict],
     idx_lists: list[list[int]] = [[] for _ in scan]
     val_lists: list[list[int]] = [[] for _ in scan]
     # per-component constants hoisted out of the MCU loop: (v, h,
-    # (dc_slow, dc_fast, ac_slow, ac_fast), blocks_per_row, idx_sink,
+    # (dc_slow, dc_fast, ac_slow, ac_multi), blocks_per_row, idx_sink,
     # val_sink)
-    geom = [(c["v"], c["h"],
-             huff[(0, c["dc"])] + huff[(1, c["ac"])],
+    def comp_luts(c):
+        dcs = huff[(0, c["dc"])]
+        acs = huff[(1, c["ac"])]
+        return (dcs[0], dcs[1], acs[0], acs[2])
+
+    geom = [(c["v"], c["h"], comp_luts(c),
              mcus_x * c["h"], idx_lists[ci], val_lists[ci])
             for ci, c in enumerate(scan)]
 
@@ -654,7 +723,7 @@ def _decode_block(br: _BitReader, luts,
     per scan. The reader state is mirrored into locals for the hot loop and
     written back only on normal return — on EOF/_RestartMarker the caller
     abandons the scan, so the un-synced state is never read."""
-    dc_slow, dc_fast, ac_slow, ac_fast = luts
+    dc_slow, dc_fast, ac_slow, ac_multi = luts
     window, nbits = br.window, br.nbits
     idx_append, val_append = idx.append, val.append
     k = 0  # 0 = decode DC next, else next AC slot
@@ -665,7 +734,44 @@ def _decode_block(br: _BitReader, luts,
             window, nbits = br.window, br.nbits
         entry = None
         if nbits >= 16:
-            entry = (ac_fast if k else dc_fast)[window >> (nbits - 16)]
+            if k == 0:
+                entry = dc_fast[window >> (nbits - 16)]
+            else:
+                ops = ac_multi[window >> (nbits - 16)]
+                if ops is not None:
+                    # apply as many fully-decoded AC units as the window
+                    # held; `used` tracks exact single-step consumption
+                    used = 0
+                    done = False
+                    for dk, v, cum, cumcode in ops:
+                        if v is None:
+                            if dk < 0:  # EOB
+                                used = cum
+                                done = True
+                                break
+                            k += 16     # ZRL
+                            used = cum
+                            if k >= 64:
+                                done = True
+                                break
+                            continue
+                        k += dk
+                        if k > 63:
+                            used = cumcode  # code consumed, magnitude not
+                            done = True
+                            break
+                        idx_append(base + k)
+                        val_append(v)
+                        k += 1
+                        used = cum
+                        if k >= 64:
+                            done = True
+                            break
+                    nbits -= used
+                    window &= (1 << nbits) - 1
+                    if done:
+                        break
+                    continue
         if entry is not None:
             consumed, ln, r, v = entry
             if k == 0:
