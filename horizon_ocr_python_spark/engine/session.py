@@ -127,7 +127,9 @@ def _warm_python_runner(spark: SparkSession) -> None:
         df = (spark.range(0, cores, 1, min(cores, 8)).toDF("i")
               .select("i", _ident(F.col("i")).alias("j")))
         w = Window.partitionBy(F.col("i") % 4).orderBy("j")
-        small = spark.range(0, 4).toDF("k")
+        # built from local rows on purpose: warms the createDataFrame
+        # driver-conversion path (the CC fast path's label table) too
+        small = spark.createDataFrame([(i,) for i in range(4)], "k long")
         (df.withColumn("r", F.row_number().over(w))
          .join(F.broadcast(small), df.i % 4 == small.k)
          .groupBy("k").agg(F.count("*").alias("n"), F.min("r").alias("m"))
