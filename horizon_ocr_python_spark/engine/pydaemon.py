@@ -30,6 +30,21 @@ try:  # pragma: no cover
 except Exception:  # noqa: BLE001
     pass
 
+
+try:  # pragma: no cover
+    import os as _os
+
+    if _os.environ.get("HSP_DAEMON_KERNEL_WARM", "1") != "0":
+        # exercise the kernel once on a tiny synthetic page: numpy ufunc
+        # dispatch caches, compiled regexes, html-parser tables and the
+        # glyph templates are all resident before the fork
+        from horizon_ocr_python_spark.kernel.document import extract_document
+
+        extract_document("warm://d.html",
+                         b"<html><title>w</title><p>warm page</p></html>")
+except Exception:  # noqa: BLE001
+    pass
+
 if __name__ == "__main__":
     from pyspark.daemon import manager
 
