@@ -45,7 +45,7 @@ def build_session(master: str | None = None, app_name: str = "horizon-spark",
     worker_pythonpath = os.pathsep.join(
         p for p in [repo_root, os.environ.get("PYTHONPATH", "")] if p)
 
-    return (
+    spark = (
         SparkSession.builder
         .master(master)
         .appName(app_name)
